@@ -1,0 +1,211 @@
+"""Typed configuration with the same knobs as the reference's ``config.py``.
+
+The reference configures everything through six module-level plain dicts
+(``build_dataset``, ``data``, ``train``, ``model``, ``log``, ``evaluate``)
+plus aliases ``dc = data`` / ``md = model`` (reference config.py:1-73).  Here
+the same field names and defaults live on frozen dataclasses, so configs are
+typed, validated, serializable (JSON) and injectable — while a module-level
+``default`` instance keeps the reference's "import one module" ergonomics.
+
+Reference parity notes:
+- field names/defaults mirror /root/reference/ImageCaptioning/config.py
+- paths default to local ./workdir locations instead of the author's
+  Windows/AIStudio paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class BuildDatasetConfig:
+    """Offline dataset-build knobs (reference config.py:2-12)."""
+
+    image_paths: Tuple[str, ...] = ("workdir/images",)
+    annotation_path: str = "workdir/annotations.json"
+    output_path: str = "workdir/dataset"
+    h5_name2idx: str = "workdir/dataset/name2idx.json"
+    # max caption length in words, excluding <start>/<stop> (config.py:9)
+    sentence_len_limit: int = 33
+    compression_opts: int = 5  # gzip level 0-9 (config.py:10)
+    max_keep: int = 15000  # vocabulary cap (config.py:11)
+    # rebuild-only additions (defaults preserve reference behavior):
+    num_workers: int = 0  # 0 = serial ingest like the reference; N>0 = parallel
+    shard_max_size: int = 30000  # images per HDF5 shard (hdf5_manager.py:152)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data-plane knobs (reference config.py:14-29)."""
+
+    image_shape: Tuple[int, int] = (224, 224)
+    image_mean: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    image_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+    dict_path: str = "workdir/dataset"  # directory of the .npy caption DBs
+    h5_path: Tuple[str, ...] = ("workdir/dataset",)  # HDF5 shard directories
+    h5_name2idx: str = "workdir/dataset/name2idx.json"
+
+    start_idx: int = 2
+    stop_idx: int = 3
+    padding_idx: int = 0
+    unk_idx: int = 1
+
+    pretrained_mobilenet_path: Optional[str] = None
+    sample_count: int = 944996  # training-set size (config.py:27)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop knobs (reference config.py:31-46)."""
+
+    seed: Optional[int] = None
+    learning_rate: float = 5e-5
+    # one of: None | 'cosine_decay' | 'cosine_decay_restart'
+    #       | 'cosine_decay_restart_warmup' | 'cosine_decay_warmup'
+    lr_decay_strategy: Optional[str] = None
+    decay_epoch: int = 0  # only for the *restart* strategies
+    warmup_epoch: int = 3
+    gradient_clip: Any = False  # False, or a by-value clip bound (train.py:42-43)
+    batch_size: int = 128
+    data_loader_capacity: int = 128  # prefetch-queue depth
+    checkpoint_path: str = "workdir/save"
+    checkpoint_backup_every_n_epoch: Any = False  # False or int
+    export_params: bool = False
+    export_infer_model: bool = True
+    max_epoch: int = 10
+    log_every_n_step: int = 150
+    save_best_bleu_checkpoint: bool = True
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """MobileNetV2 encoder knobs (reference config.py:49-53)."""
+
+    encoder_trainable: bool = True
+    encoder_dim: int = 7 * 7  # spatial positions k (fixed by MobileNetV2 @224)
+    encoder_channel: int = 1280
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """Adaptive-attention LSTM decoder knobs (reference config.py:54-61)."""
+
+    vocab_size: int = 12295
+    embedding_size: int = 256  # weight tying: output proj is also this size
+    sentence_length: int = 35  # training captions incl. <start>/<stop>
+    hidden_dim: int = 1024  # lstm hidden / sentinel size
+    infer_max_length: int = 35
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    # --- rebuild-only knobs -------------------------------------------------
+    # parity_mode=True reproduces the reference's degenerate attention
+    # (fc(...,size=1,act='softmax') over a size-1 axis => alpha==1, and
+    # context = reduce_mean over slots; model_adaAttention_aic.py:107,113).
+    # False (default) implements true Lu-et-al. adaptive attention:
+    # softmax over the k+1 slots and a weighted *sum* context.
+    parity_mode: bool = False
+    # matmul/conv compute dtype; params and accumulations stay float32.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class LogConfig:
+    log_path: str = "workdir/log"
+
+
+@dataclass(frozen=True)
+class EvaluateConfig:
+    sentence_statistics: bool = True
+
+
+@dataclass(frozen=True)
+class Config:
+    """Root config bundling the six reference dict groups."""
+
+    build_dataset: BuildDatasetConfig = field(default_factory=BuildDatasetConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    log: LogConfig = field(default_factory=LogConfig)
+    evaluate: EvaluateConfig = field(default_factory=EvaluateConfig)
+
+    # reference aliases: config.dc / config.md (config.py:72-73)
+    @property
+    def dc(self) -> DataConfig:
+        return self.data
+
+    @property
+    def md(self) -> ModelConfig:
+        return self.model
+
+    # ---- (de)serialization -------------------------------------------------
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, **kwargs: Any) -> str:
+        return json.dumps(self.to_dict(), **kwargs)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "Config":
+        def build(dc_cls, val):
+            if val is None:
+                return dc_cls()
+            kwargs = {}
+            for f in dataclasses.fields(dc_cls):
+                if f.name not in val:
+                    continue
+                v = val[f.name]
+                if dataclasses.is_dataclass(f.type) or f.name in ("encoder", "decoder"):
+                    sub = {"encoder": EncoderConfig, "decoder": DecoderConfig}.get(f.name)
+                    if sub is not None:
+                        v = build(sub, v)
+                elif isinstance(v, list):
+                    v = tuple(v)
+                kwargs[f.name] = v
+            return dc_cls(**kwargs)
+
+        return cls(
+            build_dataset=build(BuildDatasetConfig, raw.get("build_dataset")),
+            data=build(DataConfig, raw.get("data")),
+            train=build(TrainConfig, raw.get("train")),
+            model=build(ModelConfig, raw.get("model")),
+            log=build(LogConfig, raw.get("log")),
+            evaluate=build(EvaluateConfig, raw.get("evaluate")),
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        return cls.from_dict(json.loads(text))
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "Config":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f))
+
+    def replace(self, **kwargs: Any) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+def replace_nested(cfg: Config, path: str, value: Any) -> Config:
+    """Return a copy of ``cfg`` with a dotted field (e.g. 'train.batch_size') replaced."""
+    parts = path.split(".")
+    def rec(node, parts):
+        if len(parts) == 1:
+            return dataclasses.replace(node, **{parts[0]: value})
+        child = getattr(node, parts[0])
+        return dataclasses.replace(node, **{parts[0]: rec(child, parts[1:])})
+    return rec(cfg, parts)
+
+
+# The reference's "import config" ergonomics: a process-default instance.
+default = Config()
