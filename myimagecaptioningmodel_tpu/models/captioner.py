@@ -1,0 +1,154 @@
+"""Image-captioning model facade: encoder + projection + decoder + loss.
+
+Functional rebuild of reference ``ImageCaptionModel``
+(model_adaAttention_aic.py:138-212). One params/state pytree serves both the
+training forward and greedy decode — the JAX answer to the reference's
+two-programs-shared-by-name arrangement (train.py:111-127, SURVEY §1).
+
+Feature path ``_img2feature`` (reference :191-199): encoder [B,7,7,1280] ->
+[B,49,1280]; per-position fc+relu -> img_embed [B,49,1024]; mean over the 49
+positions -> fc+relu -> global_img_feat [B,1024].
+
+Loss (reference :161-183, 205-212): teacher forcing over source =
+caption[:, :-1]; softmax cross-entropy vs target = caption[:, 1:], masked by
+target != <pad>, averaged over non-pad tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from myimagecaptioningmodel_tpu.models import decoder as decoder_mod
+from myimagecaptioningmodel_tpu.models import mobilenet_v2
+from myimagecaptioningmodel_tpu.models.decoder import DecoderDims
+from myimagecaptioningmodel_tpu.ops import layers as L
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+
+class ModelOptions(NamedTuple):
+    """Static (hashable) model options derived from config — safe to close
+    over in jitted functions."""
+
+    dims: DecoderDims
+    sentence_length: int = 35
+    infer_max_length: int = 35
+    start_idx: int = 2
+    padding_idx: int = 0
+    encoder_trainable: bool = True
+    parity_mode: bool = False
+    compute_dtype: str = "bfloat16"
+
+    @classmethod
+    def from_config(cls, cfg) -> "ModelOptions":
+        md = cfg.model
+        return cls(
+            dims=DecoderDims.from_config(md),
+            sentence_length=md.decoder.sentence_length,
+            infer_max_length=md.decoder.infer_max_length,
+            start_idx=cfg.data.start_idx,
+            padding_idx=cfg.data.padding_idx,
+            encoder_trainable=md.encoder.encoder_trainable,
+            parity_mode=md.parity_mode,
+            compute_dtype=md.compute_dtype,
+        )
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+def init(key, opts: ModelOptions) -> Tuple[Params, State]:
+    """Initialize the full model: returns ({encoder, img_embed, img_global,
+    decoder} params, {encoder} BN state)."""
+    k_enc, k_proj_e, k_proj_g, k_dec = jax.random.split(key, 4)
+    enc_params, enc_state = mobilenet_v2.init(k_enc)
+    H, C = opts.dims.hidden_dim, opts.dims.feat_channels
+    params = {
+        "encoder": enc_params,
+        "img_embed": L.init_dense(k_proj_e, C, H),
+        "img_global": L.init_dense(k_proj_g, C, H),
+        "decoder": decoder_mod.init(k_dec, opts.dims, parity_init=opts.parity_mode),
+    }
+    return params, {"encoder": enc_state}
+
+
+def img2feature(
+    params: Params,
+    state: State,
+    images: jnp.ndarray,  # [B, 224, 224, 3] NHWC
+    opts: ModelOptions,
+    train: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, State]:
+    """-> (img_embed [B,k,H], raw feats [B,k,C], global_feat [B,H], new state)."""
+    dt = opts.dtype
+    feat, enc_state = mobilenet_v2.apply(
+        params["encoder"],
+        state["encoder"],
+        images,
+        train=train,
+        trainable=opts.encoder_trainable,
+        compute_dtype=dt,
+    )
+    B = feat.shape[0]
+    feat = feat.reshape(B, -1, feat.shape[-1])  # [B, 49, 1280] (NHWC flatten)
+    img_embed = jax.nn.relu(L.dense(params["img_embed"], feat, dt))
+    global_feat = jax.nn.relu(
+        L.dense(params["img_global"], jnp.mean(feat, axis=1), dt)
+    )
+    return img_embed, feat, global_feat, {"encoder": enc_state}
+
+
+def loss_fn(
+    params: Params,
+    state: State,
+    images: jnp.ndarray,  # [B, 224, 224, 3]
+    captions: jnp.ndarray,  # [B, sentence_length] int
+    opts: ModelOptions,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, State]:
+    """Masked token-mean teacher-forcing cross-entropy -> (scalar, new state)."""
+    source = captions[:, :-1]
+    target = captions[:, 1:]
+    mask = (target != opts.padding_idx).astype(jnp.float32)
+
+    img_embed, _feat, global_feat, new_state = img2feature(
+        params, state, images, opts, train
+    )
+    pre = decoder_mod.precompute(params["decoder"], img_embed, global_feat, opts.dtype)
+    logits = decoder_mod.teacher_forcing_logits(
+        params["decoder"], pre, source, opts.parity_mode, opts.padding_idx, opts.dtype
+    )  # [B, T, V]
+
+    # fused logits -> CE (replaces Paddle softmax_with_cross_entropy, :211)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, target[..., None], axis=-1)[..., 0]
+    ce = logz - gold
+    loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return loss, new_state
+
+
+def greedy_decode(
+    params: Params,
+    state: State,
+    images: jnp.ndarray,
+    opts: ModelOptions,
+) -> jnp.ndarray:
+    """Greedy caption ids [B, infer_max_length] (eval mode: BN moving stats)."""
+    img_embed, _feat, global_feat, _ = img2feature(
+        params, state, images, opts, train=False
+    )
+    pre = decoder_mod.precompute(params["decoder"], img_embed, global_feat, opts.dtype)
+    return decoder_mod.greedy_decode_ids(
+        params["decoder"],
+        pre,
+        opts.infer_max_length,
+        opts.start_idx,
+        opts.parity_mode,
+        opts.padding_idx,
+        opts.dtype,
+    )

@@ -1,0 +1,221 @@
+"""Adaptive-attention ("visual sentinel") LSTM decoder with tied embeddings.
+
+Functional JAX rebuild of reference model/model_adaAttention_aic.py:40-135
+(the architecture of Lu et al. 2017 "Knowing When to Look"). One decode step
+(reference :77-127, SURVEY §3.5):
+
+    word ──embed(E)──┐
+                     ├ xt = [word_emb ; global_img_feat]      (:84-86)
+    h_prev,c_prev ──► lstm(xt) -> h, c                         (:87-88)
+    sentinel = σ(fc(xt) + fc(h_prev)) ⊙ tanh(c)                (:89-92)
+    p_hid    = tanh(fc(h))                                     (:99)
+    keys     = [img_feat_k ; fc(sentinel)] + fc(p_hid)         (:102-105)
+    alpha    = attention over k+1 slots                        (:106-107)
+    ctx      = Σ alpha ⊙ [img_feat_v ; sentinel]               (:111-113)
+    out      = tanh(fc(ctx + p_hid))                           (:115)
+    logits   = proj(out, E) @ embedding_tableᵀ + bias          (:117, tying :15-25)
+
+Dataflow quirks preserved exactly (SURVEY §2.2 quirk 9): the sentinel gate
+reads the *previous* hidden state, the post-attention ``p_hid`` reads the
+*new* one. The reference's Paddle ``While`` + ``LoDTensorArray`` loop
+(:69-133) becomes ``lax.scan`` over the time axis — teacher forcing for
+``sentence_length-1`` steps in training, argmax feedback for
+``infer_max_length`` steps in greedy decode.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from myimagecaptioningmodel_tpu.ops import layers as L
+from myimagecaptioningmodel_tpu.ops.attention import adaptive_attention, init_attention
+from myimagecaptioningmodel_tpu.ops.lstm import init_lstm, lstm_cell
+
+Params = Dict[str, Any]
+
+
+class DecoderDims(NamedTuple):
+    vocab_size: int = 12295
+    embedding_size: int = 256
+    hidden_dim: int = 1024
+    feat_channels: int = 1280  # encoder output channels
+
+    @classmethod
+    def from_config(cls, md) -> "DecoderDims":
+        return cls(
+            vocab_size=md.decoder.vocab_size,
+            embedding_size=md.decoder.embedding_size,
+            hidden_dim=md.decoder.hidden_dim,
+            feat_channels=md.encoder.encoder_channel,
+        )
+
+
+def init(key, dims: DecoderDims, parity_init: bool = False) -> Params:
+    """Build the decoder param pytree.
+
+    ``parity_init=True`` uses the reference's U(-1,1) embedding init
+    (fluid.initializer.Uniform() defaults); otherwise a scaled uniform.
+    """
+    E, H, C, V = (
+        dims.embedding_size,
+        dims.hidden_dim,
+        dims.feat_channels,
+        dims.vocab_size,
+    )
+    ks = iter(jax.random.split(key, 16))
+    emb_scale = None if parity_init else 1.0 / (E**0.5)
+    return {
+        "embedding": L.init_embedding(next(ks), V, E, scale=emb_scale),
+        "lstm": init_lstm(next(ks), E + H, H),
+        # attention-value / key projections of the *projected* spatial
+        # features ([B,k,H] image_embed — reference applies its img_feat fcs
+        # to _img2feature's hidden-dim output, model_adaAttention_aic.py:52-53,191-199)
+        "img_v": L.init_dense(next(ks), H, H),  # -> tanh (reference "img_feat")
+        "img_k": L.init_dense(next(ks), H, H),  # reference "img_feat_emb"
+        # sentinel gate
+        "gate_x": L.init_dense(next(ks), E + H, H),
+        "gate_h": L.init_dense(next(ks), H, H),
+        # hidden projections
+        "p_hid": L.init_dense(next(ks), H, H),  # -> tanh
+        "hid_emb": L.init_dense(next(ks), H, H),
+        "sent_emb": L.init_dense(next(ks), H, H),
+        "attention": init_attention(next(ks), H),
+        "out": L.init_dense(next(ks), H, H),  # -> tanh
+        # weight tying head: proj to E, matmul embeddingᵀ, add vocab bias
+        "out_proj": L.init_dense(next(ks), H, E),
+        "out_bias": jnp.zeros((V,), jnp.float32),
+    }
+
+
+class Precomputed(NamedTuple):
+    """Per-image tensors computed once, reused by all decode steps."""
+
+    img_v: jnp.ndarray  # [B, k, H] tanh value projection
+    img_k: jnp.ndarray  # [B, k, H] key projection
+    global_feat: jnp.ndarray  # [B, H]
+
+
+def precompute(
+    params: Params,
+    p_img_feat: jnp.ndarray,  # [B, k, C] projected spatial features
+    global_feat: jnp.ndarray,  # [B, H]
+    compute_dtype=jnp.bfloat16,
+) -> Precomputed:
+    img_v = jnp.tanh(L.dense(params["img_v"], p_img_feat, compute_dtype))
+    img_k = L.dense(params["img_k"], p_img_feat, compute_dtype)
+    return Precomputed(img_v, img_k, global_feat)
+
+
+def step(
+    params: Params,
+    pre: Precomputed,
+    word: jnp.ndarray,  # [B] int ids
+    h_prev: jnp.ndarray,
+    c_prev: jnp.ndarray,
+    parity_mode: bool = False,
+    padding_idx: int = 0,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step -> (h, c, logits [B,V])."""
+    dt = compute_dtype
+    word_emb = L.embed(params["embedding"], word, padding_idx)
+    xt = jnp.concatenate([word_emb, pre.global_feat], axis=-1)
+
+    h, c = lstm_cell(params["lstm"], xt, h_prev, c_prev, dt)
+
+    # visual sentinel from the PREVIOUS hidden state (reference :89-92)
+    gate = jax.nn.sigmoid(
+        L.dense(params["gate_x"], xt, dt) + L.dense(params["gate_h"], h_prev, dt)
+    )
+    sentinel = gate * jnp.tanh(c)
+
+    # post-attention hidden projection from the NEW hidden state (:99)
+    p_hid = jnp.tanh(L.dense(params["p_hid"], h, dt))
+    hid_emb = L.dense(params["hid_emb"], p_hid, dt)
+    sent_emb = L.dense(params["sent_emb"], sentinel, dt)[:, None, :]
+
+    keys = jnp.concatenate([pre.img_k, sent_emb], axis=1)  # [B, k+1, H]
+    values = jnp.concatenate([pre.img_v, sentinel[:, None, :]], axis=1)
+    context, _alpha = adaptive_attention(
+        params["attention"], keys, values, hid_emb, parity_mode, dt
+    )
+
+    out = jnp.tanh(L.dense(params["out"], context + p_hid, dt))
+
+    proj = L.dense(params["out_proj"], out, dt)  # [B, E]
+    logits = (
+        jnp.matmul(
+            proj.astype(dt),
+            params["embedding"]["table"].T.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        + params["out_bias"]
+    )
+    return h, c, logits
+
+
+def _zero_state(batch: int, hidden: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    z = jnp.zeros((batch, hidden), jnp.float32)
+    return z, z
+
+
+def teacher_forcing_logits(
+    params: Params,
+    pre: Precomputed,
+    source: jnp.ndarray,  # [B, T] input words (caption[:, :-1])
+    parity_mode: bool = False,
+    padding_idx: int = 0,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Training forward: scan the cell over the time axis -> logits [B,T,V]."""
+    B = source.shape[0]
+    H = params["p_hid"]["w"].shape[0]
+    h0, c0 = _zero_state(B, H)
+    words_tm = jnp.transpose(source, (1, 0))  # time-major, like reference :60
+
+    def body(carry, word_t):
+        h, c = carry
+        h, c, logits = step(
+            params, pre, word_t, h, c, parity_mode, padding_idx, compute_dtype
+        )
+        return (h, c), logits
+
+    _, logits_tm = jax.lax.scan(body, (h0, c0), words_tm)
+    return jnp.transpose(logits_tm, (1, 0, 2))  # [B, T, V]
+
+
+def greedy_decode_ids(
+    params: Params,
+    pre: Precomputed,
+    max_length: int,
+    start_idx: int = 2,
+    parity_mode: bool = False,
+    padding_idx: int = 0,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Greedy decode: argmax feedback for ``max_length`` steps -> ids [B,T].
+
+    Runs the full fixed-length scan (TPU-friendly static shapes); like the
+    reference eval graph, generation continues past ``<stop>`` and the
+    metric/detokenizer truncates (evaluate.py:15-25). Ids stay int32
+    end-to-end — the reference's float-cast (:122-123) is not reproduced
+    (SURVEY §2.2 quirk 2: rebuild keeps int ids).
+    """
+    B = pre.global_feat.shape[0]
+    H = params["p_hid"]["w"].shape[0]
+    h0, c0 = _zero_state(B, H)
+    word0 = jnp.full((B,), start_idx, jnp.int32)
+
+    def body(carry, _):
+        h, c, word = carry
+        h, c, logits = step(
+            params, pre, word, h, c, parity_mode, padding_idx, compute_dtype
+        )
+        next_word = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (h, c, next_word), next_word
+
+    _, ids_tm = jax.lax.scan(body, (h0, c0, word0), None, length=max_length)
+    return jnp.transpose(ids_tm, (1, 0))

@@ -1,0 +1,170 @@
+"""Functional layer primitives with explicit param pytrees.
+
+These replace the reference's ``fluid.layers.{fc, conv2d, batch_norm,
+embedding}`` graph ops (SURVEY §2.4). Conventions:
+
+- params are float32 leaves in plain dicts; ``init_*`` builds them,
+  ``apply``-style functions consume them;
+- matmuls/convs run in a configurable ``compute_dtype`` (bfloat16 by
+  default) with float32 MXU accumulation (``preferred_element_type``);
+- convolutions are NHWC / HWIO — the TPU-native layout (the reference's
+  NCHW is a CUDA convention; storage artifacts stay CHW, the feed path
+  transposes once per batch).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def xavier_uniform(key, shape, fan_in: int, fan_out: int, dtype=jnp.float32):
+    """Xavier/Glorot uniform — the Paddle fc/conv default initializer."""
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def uniform(key, shape, low: float = -1.0, high: float = 1.0, dtype=jnp.float32):
+    """Plain uniform — matches ``fluid.initializer.Uniform()`` defaults."""
+    return jax.random.uniform(key, shape, dtype, low, high)
+
+
+# ---- dense ------------------------------------------------------------------
+
+
+def init_dense(key, in_dim: int, out_dim: int, use_bias: bool = True) -> Params:
+    p = {"w": xavier_uniform(key, (in_dim, out_dim), in_dim, out_dim)}
+    if use_bias:
+        p["b"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def dense(p: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """y = x @ W (+ b); bf16 MXU matmul, float32 accumulate/output."""
+    y = jnp.matmul(
+        x.astype(compute_dtype),
+        p["w"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+# ---- embedding ---------------------------------------------------------------
+
+
+def init_embedding(key, vocab: int, dim: int, scale: Optional[float] = None) -> Params:
+    """Embedding table. ``scale=None`` -> U(-1,1) like the reference's
+    ``fluid.initializer.Uniform()`` (model_adaAttention_aic.py:18-19);
+    otherwise U(-scale, scale)."""
+    lim = 1.0 if scale is None else scale
+    return {"table": uniform(key, (vocab, dim), -lim, lim)}
+
+
+def embed(p: Params, ids: jnp.ndarray, padding_idx: Optional[int] = 0) -> jnp.ndarray:
+    """Gather rows; lookups of ``padding_idx`` return zeros (Paddle
+    ``embedding(padding_idx=...)`` semantics, model_adaAttention_aic.py:28-32)."""
+    out = jnp.take(p["table"], ids, axis=0)
+    if padding_idx is not None:
+        out = out * (ids != padding_idx)[..., None].astype(out.dtype)
+    return out
+
+
+# ---- convolution -------------------------------------------------------------
+
+
+def init_conv(
+    key,
+    in_ch: int,
+    out_ch: int,
+    kernel: int,
+    groups: int = 1,
+) -> Params:
+    # HWIO with I = in_ch // groups
+    shape = (kernel, kernel, in_ch // groups, out_ch)
+    fan_in = kernel * kernel * in_ch // groups
+    fan_out = kernel * kernel * out_ch // groups
+    return {"w": xavier_uniform(key, shape, fan_in, fan_out)}
+
+
+def conv2d(
+    p: Params,
+    x: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 0,
+    groups: int = 1,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """NHWC conv; ``groups=C`` gives the depthwise path (XLA:TPU lowers both
+    onto the MXU — replaces Paddle's custom depthwise CUDA kernel,
+    MobileNetV2.py:155-164)."""
+    return jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        p["w"].astype(compute_dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---- batch norm ---------------------------------------------------------------
+
+BN_MOMENTUM = 0.9  # Paddle batch_norm default
+BN_EPS = 1e-5
+
+
+def init_batch_norm(num_ch: int) -> Tuple[Params, Params]:
+    """Returns (params, state): learnable scale/offset + moving stats."""
+    params = {
+        "scale": jnp.ones((num_ch,), jnp.float32),
+        "offset": jnp.zeros((num_ch,), jnp.float32),
+    }
+    state = {
+        "mean": jnp.zeros((num_ch,), jnp.float32),
+        "var": jnp.ones((num_ch,), jnp.float32),
+    }
+    return params, state
+
+
+def batch_norm(
+    p: Params,
+    s: Params,
+    x: jnp.ndarray,
+    train: bool,
+) -> Tuple[jnp.ndarray, Params]:
+    """BN over all but the channel (last) axis; float32 statistics.
+
+    Train mode normalizes with batch stats and returns updated moving stats
+    (``moving = momentum*moving + (1-momentum)*batch``); eval mode uses the
+    moving stats. Running stats live in an explicit state pytree — the
+    functional replacement for Paddle's moving_mean/variance variables
+    (MobileNetV2.py:112-117, SURVEY §2.4).
+    """
+    x32 = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    if train:
+        mean = jnp.mean(x32, axes)
+        var = jnp.var(x32, axes)
+        new_s = {
+            "mean": BN_MOMENTUM * s["mean"] + (1.0 - BN_MOMENTUM) * mean,
+            "var": BN_MOMENTUM * s["var"] + (1.0 - BN_MOMENTUM) * var,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    inv = jax.lax.rsqrt(var + BN_EPS) * p["scale"]
+    y = (x32 - mean) * inv + p["offset"]
+    return y.astype(x.dtype), new_s
+
+
+def relu6(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(x, 0.0, 6.0)

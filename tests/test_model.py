@@ -1,0 +1,252 @@
+"""Model tests: decode-step math vs a NumPy oracle, shapes/dtypes, loss
+decreases on a tiny batch, greedy determinism, BN state, encoder freezing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myimagecaptioningmodel_tpu.models import captioner, decoder as decoder_mod, mobilenet_v2
+from myimagecaptioningmodel_tpu.models.decoder import DecoderDims, Precomputed
+
+F32 = jnp.float32
+DIMS = DecoderDims(vocab_size=23, embedding_size=8, hidden_dim=16, feat_channels=12)
+K = 4  # spatial positions
+
+
+@pytest.fixture(scope="module")
+def dec_params():
+    return decoder_mod.init(jax.random.PRNGKey(0), DIMS)
+
+
+@pytest.fixture(scope="module")
+def pre_inputs():
+    rng = np.random.RandomState(1)
+    # decoder consumes the hidden-dim projected image embedding [B,k,H]
+    p_img_feat = rng.randn(2, K, DIMS.hidden_dim).astype(np.float32)
+    global_feat = rng.randn(2, DIMS.hidden_dim).astype(np.float32)
+    return jnp.asarray(p_img_feat), jnp.asarray(global_feat)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def numpy_oracle_step(params, p_img_feat, global_feat, word, h_prev, c_prev, parity):
+    """Reference §3.5 decode-step math in NumPy float32."""
+
+    def dense(p, x):
+        y = x @ _np(p["w"])
+        return y + _np(p["b"]) if "b" in p else y
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    img_v = np.tanh(dense(params["img_v"], p_img_feat))
+    img_k = dense(params["img_k"], p_img_feat)
+
+    emb = _np(params["embedding"]["table"])[word] * (word != 0)[:, None]
+    xt = np.concatenate([emb, global_feat], axis=-1)
+
+    gates = xt @ _np(params["lstm"]["w"])[: xt.shape[-1]] + h_prev @ _np(
+        params["lstm"]["w"]
+    )[xt.shape[-1] :] + _np(params["lstm"]["b"])
+    i, f, g, o = np.split(gates, 4, axis=-1)
+    c = sigmoid(f) * c_prev + sigmoid(i) * np.tanh(g)
+    h = sigmoid(o) * np.tanh(c)
+
+    gate = sigmoid(dense(params["gate_x"], xt) + dense(params["gate_h"], h_prev))
+    sentinel = gate * np.tanh(c)
+
+    p_hid = np.tanh(dense(params["p_hid"], h))
+    hid_emb = dense(params["hid_emb"], p_hid)
+    sent_emb = dense(params["sent_emb"], sentinel)[:, None, :]
+
+    keys = np.concatenate([img_k, sent_emb], axis=1)
+    values = np.concatenate([img_v, sentinel[:, None, :]], axis=1)
+    if parity:
+        context = values.mean(axis=1)
+    else:
+        z = np.tanh(keys + hid_emb[:, None, :])
+        e = dense(params["attention"]["score"], z)[..., 0]
+        e = e - e.max(axis=-1, keepdims=True)
+        alpha = np.exp(e) / np.exp(e).sum(axis=-1, keepdims=True)
+        context = (alpha[..., None] * values).sum(axis=1)
+
+    out = np.tanh(dense(params["out"], context + p_hid))
+    proj = dense(params["out_proj"], out)
+    logits = proj @ _np(params["embedding"]["table"]).T + _np(params["out_bias"])
+    return h, c, logits
+
+
+@pytest.mark.parametrize("parity", [False, True])
+def test_decode_step_matches_numpy_oracle(dec_params, pre_inputs, parity):
+    p_img_feat, global_feat = pre_inputs
+    rng = np.random.RandomState(2)
+    word = np.array([5, 0])  # includes a <pad> id: embedding must zero it
+    h_prev = rng.randn(2, DIMS.hidden_dim).astype(np.float32)
+    c_prev = rng.randn(2, DIMS.hidden_dim).astype(np.float32)
+
+    pre = decoder_mod.precompute(dec_params, p_img_feat, global_feat, F32)
+    h, c, logits = decoder_mod.step(
+        dec_params, pre, jnp.asarray(word), jnp.asarray(h_prev), jnp.asarray(c_prev),
+        parity_mode=parity, compute_dtype=F32,
+    )
+    h_o, c_o, logits_o = numpy_oracle_step(
+        jax.tree_util.tree_map(_np, dec_params),
+        _np(p_img_feat), _np(global_feat), word, h_prev, c_prev, parity,
+    )
+    np.testing.assert_allclose(_np(h), h_o, atol=1e-5)
+    np.testing.assert_allclose(_np(c), c_o, atol=1e-5)
+    np.testing.assert_allclose(_np(logits), logits_o, atol=1e-4)
+
+
+def test_teacher_forcing_shapes_and_scan_consistency(dec_params, pre_inputs):
+    """The scan must equal step-by-step unrolling."""
+    p_img_feat, global_feat = pre_inputs
+    pre = decoder_mod.precompute(dec_params, p_img_feat, global_feat, F32)
+    source = jnp.asarray([[2, 5, 7, 0], [2, 9, 0, 0]], jnp.int32)
+    logits = decoder_mod.teacher_forcing_logits(
+        dec_params, pre, source, compute_dtype=F32
+    )
+    assert logits.shape == (2, 4, DIMS.vocab_size)
+
+    h = c = jnp.zeros((2, DIMS.hidden_dim), F32)
+    for t in range(4):
+        h, c, step_logits = decoder_mod.step(
+            dec_params, pre, source[:, t], h, c, compute_dtype=F32
+        )
+        np.testing.assert_allclose(_np(logits[:, t]), _np(step_logits), atol=1e-5)
+
+
+def test_greedy_decode_deterministic_and_feedback(dec_params, pre_inputs):
+    p_img_feat, global_feat = pre_inputs
+    pre = decoder_mod.precompute(dec_params, p_img_feat, global_feat, F32)
+    ids1 = decoder_mod.greedy_decode_ids(dec_params, pre, 6, compute_dtype=F32)
+    ids2 = decoder_mod.greedy_decode_ids(dec_params, pre, 6, compute_dtype=F32)
+    assert ids1.shape == (2, 6) and ids1.dtype == jnp.int32
+    np.testing.assert_array_equal(_np(ids1), _np(ids2))
+
+    # feedback check: unroll manually with argmax feeding
+    h = c = jnp.zeros((2, DIMS.hidden_dim), F32)
+    word = jnp.full((2,), 2, jnp.int32)
+    for t in range(6):
+        h, c, logits = decoder_mod.step(dec_params, pre, word, h, c, compute_dtype=F32)
+        word = jnp.argmax(logits, -1).astype(jnp.int32)
+        np.testing.assert_array_equal(_np(ids1[:, t]), _np(word))
+
+
+# ---- MobileNetV2 ---------------------------------------------------------------
+
+
+def test_mobilenet_shapes_and_state_update():
+    params, state = mobilenet_v2.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), F32)
+    y, new_state = mobilenet_v2.apply(params, state, x, train=True, compute_dtype=F32)
+    assert y.shape == (2, 2, 2, 1280)  # 64 / 32 = 2
+    # train mode must update BN moving stats
+    assert not np.allclose(
+        _np(new_state["conv1_1"]["bn"]["mean"]), _np(state["conv1_1"]["bn"]["mean"])
+    )
+    # eval mode must not
+    y2, eval_state = mobilenet_v2.apply(
+        params, state, x, train=False, compute_dtype=F32
+    )
+    np.testing.assert_array_equal(
+        _np(eval_state["conv1_1"]["bn"]["mean"]), _np(state["conv1_1"]["bn"]["mean"])
+    )
+
+
+# ---- full captioner ----------------------------------------------------------
+
+
+def tiny_opts(**kw):
+    defaults = dict(
+        dims=DecoderDims(vocab_size=23, embedding_size=8, hidden_dim=16,
+                         feat_channels=1280),
+        sentence_length=5,
+        infer_max_length=6,
+        compute_dtype="float32",
+    )
+    defaults.update(kw)
+    return captioner.ModelOptions(**defaults)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    opts = tiny_opts()
+    params, state = captioner.init(jax.random.PRNGKey(0), opts)
+    return opts, params, state
+
+
+def test_loss_is_masked_token_mean_ce(tiny_model):
+    """White box: loss must equal CE(logits, target) averaged over non-pad targets."""
+    opts, params, state = tiny_model
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 64, 64, 3), F32)
+    caps = jnp.asarray([[2, 5, 7, 3, 0], [2, 9, 3, 0, 0]], jnp.int32)
+    loss, _ = captioner.loss_fn(params, state, images, caps, opts)
+    assert loss.shape == () and jnp.isfinite(loss)
+
+    img_embed, _f, global_feat, _s = captioner.img2feature(
+        params, state, images, opts, train=True
+    )
+    pre = decoder_mod.precompute(params["decoder"], img_embed, global_feat, F32)
+    logits = _np(
+        decoder_mod.teacher_forcing_logits(
+            params["decoder"], pre, caps[:, :-1], compute_dtype=F32
+        )
+    ).astype(np.float64)
+    target = _np(caps[:, 1:])
+    mask = target != 0
+    logz = np.log(np.exp(logits).sum(-1))
+    gold = np.take_along_axis(logits, target[..., None], -1)[..., 0]
+    expected = ((logz - gold) * mask).sum() / mask.sum()
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+
+def test_loss_decreases_on_tiny_batch(tiny_model):
+    opts, params, state = tiny_model
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 64, 64, 3), F32)
+    caps = jnp.asarray([[2, 5, 7, 3, 0], [2, 9, 3, 0, 0]], jnp.int32)
+
+    def loss_of(p):
+        return captioner.loss_fn(p, state, images, caps, opts)[0]
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_of))
+    loss0, grads = grad_fn(params)
+    params2 = jax.tree_util.tree_map(lambda p, g: p - 0.05 * g, params, grads)
+    loss1, _ = grad_fn(params2)
+    assert float(loss1) < float(loss0)
+
+
+def test_frozen_encoder_zero_grads(tiny_model):
+    opts, params, state = tiny_model
+    frozen = opts._replace(encoder_trainable=False)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 64, 64, 3), F32)
+    caps = jnp.asarray([[2, 5, 7, 3, 0], [2, 9, 3, 0, 0]], jnp.int32)
+    grads = jax.grad(
+        lambda p: captioner.loss_fn(p, state, images, caps, frozen)[0]
+    )(params)
+    enc_norm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads["encoder"])
+    )
+    dec_norm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads["decoder"])
+    )
+    assert enc_norm == 0.0
+    assert dec_norm > 0.0
+
+
+def test_greedy_decode_full_model(tiny_model):
+    opts, params, state = tiny_model
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 64, 64, 3), F32)
+    ids = captioner.greedy_decode(params, state, images, opts)
+    assert ids.shape == (2, opts.infer_max_length)
+    assert ids.dtype == jnp.int32
+    # deterministic across calls
+    ids2 = captioner.greedy_decode(params, state, images, opts)
+    np.testing.assert_array_equal(_np(ids), _np(ids2))
