@@ -1,0 +1,20 @@
+#!/usr/bin/env python
+"""Offline BLEU-1..4 evaluation entry point (reference: `python evaluate.py`)."""
+
+import argparse
+
+from myimagecaptioningmodel_tpu import config as config_mod
+from myimagecaptioningmodel_tpu.evaluation import evaluate as evaluate_mod
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None, help="path to a JSON config")
+    ap.add_argument("--bundle", default="infer", help="inference bundle name")
+    args = ap.parse_args()
+    cfg = config_mod.Config.from_json_file(args.config) if args.config else config_mod.default
+    evaluate_mod.evaluate(cfg, bundle=args.bundle)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+#!/usr/bin/env python
+"""Single-image inference entry point (reference: `python infer.py "<url>"`)."""
+
+import argparse
+
+from myimagecaptioningmodel_tpu import config as config_mod
+from myimagecaptioningmodel_tpu.inference import infer as infer_mod
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("url", help="image URL or local path")
+    ap.add_argument("--config", default=None, help="path to a JSON config")
+    args = ap.parse_args()
+    cfg = config_mod.Config.from_json_file(args.config) if args.config else config_mod.default
+    infer_mod.main(args.url, cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Offline test-set BLEU-1..4 evaluator (reference evaluate.py:45-78).
+
+Loads the exported inference bundle, streams the test split, greedy-decodes
+on device, scores BLEU-1..4 (separate weight vectors) + their mean on the
+host, and optionally counts distinct sentences (mode-collapse diagnostic).
+
+The bundle is read from ONE canonical name (default ``infer``); the
+reference hardcoded ``infer_meteor``, which no writer produced
+(SURVEY §2.2 quirk 5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from myimagecaptioningmodel_tpu.data.image import chw_to_nhwc
+from myimagecaptioningmodel_tpu.data.reader import DataReader
+from myimagecaptioningmodel_tpu.evaluation import metrics
+from myimagecaptioningmodel_tpu.models import captioner
+from myimagecaptioningmodel_tpu.models.captioner import ModelOptions
+from myimagecaptioningmodel_tpu.training import checkpoint as ckpt
+
+
+def load_bundle(cfg, bundle: str = "infer"):
+    """-> (params, model_state, bundle_cfg, opts, decode_fn)."""
+    opts = ModelOptions.from_config(cfg)
+    like_params, like_state = captioner.init(jax.random.PRNGKey(0), opts)
+    directory = os.path.join(cfg.train.checkpoint_path, bundle)
+    params, model_state, bundle_cfg = ckpt.load_inference_bundle(
+        directory, like_params, like_state
+    )
+    decode = jax.jit(
+        lambda p, s, imgs: captioner.greedy_decode(p, s, imgs, opts)
+    )
+    return params, model_state, bundle_cfg, opts, decode
+
+
+def evaluate(cfg=None, bundle: str = "infer", mode: str = "test") -> Dict[str, object]:
+    """-> {'bleu': [b1,b2,b3,b4,mean], 'distinct_sentences': int|None}."""
+    from myimagecaptioningmodel_tpu import config as config_mod
+
+    cfg = cfg or config_mod.default
+    params, model_state, _bcfg, opts, decode = load_bundle(cfg, bundle)
+
+    dr = DataReader(cfg)
+    index_word = dr.index_word
+    batch_size = cfg.train.batch_size
+    reader = dr.get_reader(batch_size, mode)
+
+    bleu_score = [0.0] * 5
+    sentences = set()
+    batches = 0
+    for batch in reader():
+        imgs, refs = zip(*batch)
+        n = len(imgs)
+        stacked = chw_to_nhwc(np.stack(imgs).astype(np.float32))
+        if n < batch_size:
+            pad = np.zeros((batch_size - n, *stacked.shape[1:]), stacked.dtype)
+            stacked = np.concatenate([stacked, pad])
+        ids = np.asarray(jax.device_get(decode(params, model_state, stacked)))[:n]
+        for i, vec in enumerate(metrics.BLEU_WEIGHT_VECTORS):
+            bleu_score[i] += metrics.calc_bleu(
+                ids, refs, index_word, vec,
+                stop_idx=cfg.data.stop_idx, padding_idx=cfg.data.padding_idx,
+            )
+        if cfg.evaluate.sentence_statistics:
+            for row in ids.tolist():
+                sentences.add(
+                    metrics.words2sentence(
+                        metrics.filter_ids(
+                            row, index_word, cfg.data.stop_idx, cfg.data.padding_idx
+                        )
+                    )
+                )
+        batches += 1
+
+    for i in range(4):
+        bleu_score[i] /= max(batches, 1)
+    bleu_score[4] = sum(bleu_score[:4]) / 4
+
+    print("BLEU [{:.7f}, {:.7f}, {:.7f}, {:.7f}] {:.7f}".format(*bleu_score))
+    distinct = None
+    if cfg.evaluate.sentence_statistics:
+        distinct = len(sentences)
+        print(f"distinct sentences: {distinct}")
+    return {"bleu": bleu_score, "distinct_sentences": distinct}
+
+
+if __name__ == "__main__":
+    evaluate()

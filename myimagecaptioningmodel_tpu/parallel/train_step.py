@@ -1,0 +1,83 @@
+"""The jitted training / decode steps, sharded over the device mesh.
+
+One compiled executable covers forward (CNN + 34-step ``lax.scan``
+recurrence), backward, gradient AllReduce (GSPMD-inserted ``psum`` over ICI
+when the batch is sharded) and the Adam update — the same
+"everything-in-one-program" shape as the reference's ParallelExecutor step
+(SURVEY §3.1), minus the per-run Python overhead.
+
+BatchNorm note: batch statistics under a sharded batch are *global* batch
+stats (jnp.mean over a sharded axis is semantically global; XLA inserts the
+cross-device reduction), which is stronger than the reference's per-GPU-
+replica BN stats — documented divergence in favor of correctness.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from myimagecaptioningmodel_tpu.models import captioner
+from myimagecaptioningmodel_tpu.models.captioner import ModelOptions
+from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
+
+
+def make_optimizer(cfg, schedule) -> optax.GradientTransformation:
+    """Adam + optional by-value clip (reference train.py:26-31,42-43)."""
+    tx = optax.adam(learning_rate=schedule)
+    clip = cfg.train.gradient_clip
+    if clip:
+        tx = optax.chain(optax.clip(float(clip)), tx)
+    return tx
+
+
+class TrainStepFns(NamedTuple):
+    train_step: Callable  # (params, opt_state, model_state, step, imgs, caps) -> (params, opt_state, model_state, step, loss, lr)
+    decode_step: Callable  # (params, model_state, imgs) -> ids
+
+
+def build_steps(
+    opts: ModelOptions,
+    optimizer: optax.GradientTransformation,
+    schedule,
+    mesh=None,
+    donate: bool = True,
+) -> TrainStepFns:
+    """Compile-ready train/decode steps. With a mesh, batch args are sharded
+    over the data axis and everything else is replicated."""
+
+    def train_step(params, opt_state, model_state, step, images, captions):
+        def lf(p):
+            return captioner.loss_fn(p, model_state, images, captions, opts, True)
+
+        (loss, new_model_state), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        lr = schedule(step)
+        return new_params, new_opt_state, new_model_state, step + 1, loss, lr
+
+    def decode_step(params, model_state, images):
+        return captioner.greedy_decode(params, model_state, images, opts)
+
+    if mesh is None:
+        jit_train = jax.jit(train_step, donate_argnums=(0, 1, 2, 3) if donate else ())
+        jit_decode = jax.jit(decode_step)
+    else:
+        repl = mesh_mod.replicated(mesh)
+        batch = mesh_mod.batch_sharding(mesh)
+        jit_train = jax.jit(
+            train_step,
+            in_shardings=(repl, repl, repl, repl, batch, batch),
+            out_shardings=(repl, repl, repl, repl, repl, repl),
+            donate_argnums=(0, 1, 2, 3) if donate else (),
+        )
+        jit_decode = jax.jit(
+            decode_step,
+            in_shardings=(repl, repl, batch),
+            out_shardings=batch,
+        )
+    return TrainStepFns(jit_train, jit_decode)

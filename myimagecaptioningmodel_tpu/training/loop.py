@@ -1,0 +1,256 @@
+"""Training driver (reference train.py:26-181, SURVEY §3.1).
+
+Epoch loop with the reference's observable behavior:
+- per-step NaN-loss guard (train.py:140-141) — checked with a one-step delay
+  so the host never blocks the device pipeline on the current step;
+- per-``log_every_n_step`` mean/step loss + LR logging (train.py:145-148);
+- per-epoch dev-set greedy decode + BLEU + distinct-sentence count
+  (train.py:152-169);
+- checkpoint / optional backup / params export / inference-bundle export /
+  best-BLEU copies (train.py:68-91);
+- crash-resume at epoch granularity. Unlike the reference (which keys
+  ``is_first_init`` off the Logger's side JSON and can re-init from scratch
+  if it dies between "epoch 1 saved" and "epoch 2 started"), resume state
+  here is carried in the checkpoint itself: ``meta.next_epoch``/``step``
+  (SURVEY §5.3 rebuild note);
+- the "encoder just unfroze -> reload its pretrained weights" transition
+  (train.py:103-107).
+
+Divergence: the final partial train batch of an epoch is dropped (static
+shapes keep one compiled executable); the reference feeds it through. At the
+reference scale that is 4 of 944,996 samples per epoch.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myimagecaptioningmodel_tpu.data.feeder import PrefetchingFeeder
+from myimagecaptioningmodel_tpu.data.image import chw_to_nhwc
+from myimagecaptioningmodel_tpu.data.reader import DataReader
+from myimagecaptioningmodel_tpu.evaluation import metrics
+from myimagecaptioningmodel_tpu.models import captioner
+from myimagecaptioningmodel_tpu.models.captioner import ModelOptions
+from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
+from myimagecaptioningmodel_tpu.parallel.train_step import build_steps, make_optimizer
+from myimagecaptioningmodel_tpu.training import checkpoint as ckpt
+from myimagecaptioningmodel_tpu.training import lr_schedules
+from myimagecaptioningmodel_tpu.training.logger import Logger
+
+
+def _dev_eval(decode_fn, params, model_state, reader_gen, index_word, batch_size,
+              stop_idx, padding_idx):
+    """Per-epoch dev greedy decode + BLEU + distinct sentences
+    (reference train.py:152-167). Pads the final partial batch to keep one
+    compiled decode executable; metrics only see the real rows."""
+    bleu_total, batches = 0.0, 0
+    sentences = set()
+    for batch in reader_gen():
+        imgs, refs = zip(*batch)
+        n = len(imgs)
+        stacked = chw_to_nhwc(np.stack(imgs))
+        if n < batch_size:
+            pad = np.zeros((batch_size - n, *stacked.shape[1:]), stacked.dtype)
+            stacked = np.concatenate([stacked, pad])
+        ids = np.asarray(jax.device_get(decode_fn(params, model_state, stacked)))[:n]
+        bleu_total += metrics.calc_bleu(
+            ids, refs, index_word, stop_idx=stop_idx, padding_idx=padding_idx
+        )
+        batches += 1
+        for row in ids.tolist():
+            sentences.add(
+                metrics.words2sentence(
+                    metrics.filter_ids(row, index_word, stop_idx, padding_idx)
+                )
+            )
+    if batches == 0:
+        return 0.0, 0
+    return bleu_total / batches, len(sentences)
+
+
+def save_model(
+    cfg, logger: Logger, params, opt_state, model_state, epoch: int, step: int,
+    eval_bleu: Optional[float] = None,
+) -> None:
+    """Checkpoint/export policy, reference train.py:68-91."""
+    p = cfg.train.checkpoint_path
+    meta = {
+        "next_epoch": epoch + 1,
+        "step": int(step),
+        "best_bleu": logger.best_bleu,
+        "best_meteor": logger.best_meteor,
+        "train_encoder": logger.train_encoder,
+    }
+    ckpt.save_checkpoint(os.path.join(p, "checkpoint"), params, opt_state, model_state, meta)
+
+    n = cfg.train.checkpoint_backup_every_n_epoch
+    if n and epoch % n == 0:
+        ckpt.save_checkpoint(
+            os.path.join(p, f"checkpoint{epoch}"), params, opt_state, model_state, meta
+        )
+    if cfg.train.export_params:
+        ckpt.save_params(os.path.join(p, "params", ckpt.PARAMS_FILE), params)
+    if cfg.train.export_infer_model:
+        ckpt.export_inference_bundle(
+            os.path.join(p, "infer"), params, model_state, cfg, cfg.data.dict_path
+        )
+    if cfg.train.save_best_bleu_checkpoint and eval_bleu is not None:
+        if eval_bleu > logger.best_bleu:
+            logger.best_bleu = eval_bleu
+            meta["best_bleu"] = eval_bleu
+            ckpt.save_checkpoint(
+                os.path.join(p, "checkpoint_best_bleu"),
+                params, opt_state, model_state, meta,
+            )
+            if cfg.train.export_infer_model:
+                ckpt.export_inference_bundle(
+                    os.path.join(p, "infer_bleu"), params, model_state, cfg,
+                    cfg.data.dict_path,
+                )
+
+
+def train(
+    cfg=None,
+    mesh="auto",
+    max_steps_per_epoch: Optional[int] = None,
+) -> dict:
+    """Run training to ``max_epoch``; returns a summary dict.
+
+    ``mesh='auto'`` builds a data-parallel mesh over all visible devices when
+    the batch divides evenly; pass an explicit Mesh, or None for single-device.
+    """
+    from myimagecaptioningmodel_tpu import config as config_mod
+
+    cfg = cfg or config_mod.default
+    opts = ModelOptions.from_config(cfg)
+    logger = Logger(cfg.log.log_path, opts.encoder_trainable)
+    data_reader = DataReader(cfg)
+
+    if mesh == "auto":
+        n = len(jax.devices())
+        mesh = (
+            mesh_mod.make_mesh()
+            if n > 1 and cfg.train.batch_size % n == 0
+            else None
+        )
+
+    schedule = lr_schedules.from_config(cfg)
+    optimizer = make_optimizer(cfg, schedule)
+    steps = build_steps(opts, optimizer, schedule, mesh)
+
+    seed = cfg.train.seed
+    params, model_state = captioner.init(jax.random.PRNGKey(seed or 0), opts)
+    opt_state = optimizer.init(params)
+    step = jnp.zeros((), jnp.int32)
+    start_epoch = 1
+
+    ckpt_dir = os.path.join(cfg.train.checkpoint_path, "checkpoint")
+    if ckpt.checkpoint_exists(ckpt_dir):
+        params, opt_state, model_state, meta = ckpt.load_checkpoint(
+            ckpt_dir, params, opt_state, model_state
+        )
+        step = jnp.asarray(meta["step"], jnp.int32)
+        start_epoch = meta["next_epoch"]
+        logger.log(f"Resumed from {ckpt_dir} at epoch {start_epoch}, step {int(step)}")
+        # encoder freeze flipped since last run? reload pretrained encoder
+        # (reference train.py:103-107)
+        if logger.train_encoder != opts.encoder_trainable:
+            logger.train_encoder = opts.encoder_trainable
+            if opts.encoder_trainable and cfg.data.pretrained_mobilenet_path:
+                params = ckpt.graft_subtree(
+                    params, cfg.data.pretrained_mobilenet_path, "encoder"
+                )
+                logger.log("Encoder unfroze: reloaded pretrained encoder weights")
+    else:
+        if cfg.data.pretrained_mobilenet_path:
+            params = ckpt.graft_subtree(
+                params, cfg.data.pretrained_mobilenet_path, "encoder"
+            )
+            logger.log("Loaded pretrained MobileNetV2 encoder")
+
+    if mesh is not None:  # replicate once so donation doesn't re-transfer
+        repl = mesh_mod.replicated(mesh)
+        params, opt_state, model_state, step = jax.device_put(
+            (params, opt_state, model_state, step), repl
+        )
+
+    batch_size = cfg.train.batch_size
+    batch_sharding = mesh_mod.batch_sharding(mesh) if mesh is not None else None
+    last_bleu = 0.0
+
+    for epoch in range(start_epoch, cfg.train.max_epoch + 1):
+        logger.epoch = epoch
+        begin = time.time()
+        logger.log(f"Epoch {epoch}")
+        epoch_loss, nsteps = 0.0, 0
+        prev_loss = None  # one-step-delayed NaN check
+
+        feeder = PrefetchingFeeder(
+            data_reader.get_reader(batch_size, "train"),
+            capacity=cfg.train.data_loader_capacity,
+            drop_remainder=True,
+            sharding=batch_sharding,
+        )
+        for imgs, caps in feeder:
+            params, opt_state, model_state, step, loss, lr = steps.train_step(
+                params, opt_state, model_state, step, imgs, caps
+            )
+            if prev_loss is not None:
+                lval = float(prev_loss)
+                if np.isnan(lval):
+                    raise FloatingPointError(
+                        f"Epoch:{epoch} Step:{nsteps} loss is NaN"
+                    )
+                epoch_loss += lval
+            prev_loss = loss
+            nsteps += 1
+            if nsteps % cfg.train.log_every_n_step == 0:
+                lval = float(loss)  # sync point, every N steps only
+                logger.log(
+                    f"    Step {nsteps} Mean loss: {epoch_loss / max(nsteps - 1, 1):6f} "
+                    f"Step loss: {lval:6f}, lr: {float(lr)}"
+                )
+            if max_steps_per_epoch and nsteps >= max_steps_per_epoch:
+                break
+        if prev_loss is not None:
+            lval = float(prev_loss)
+            if np.isnan(lval):
+                raise FloatingPointError(f"Epoch:{epoch} Step:{nsteps} loss is NaN")
+            epoch_loss += lval
+        mean_loss = epoch_loss / max(nsteps, 1)
+        logger.log(f"Epoch loss: {mean_loss:7f}")
+        logger.log_scalars("epoch_loss", epoch=epoch, loss=mean_loss, steps=nsteps)
+
+        eval_begin = time.time()
+        bleu, distinct = _dev_eval(
+            steps.decode_step,
+            params,
+            model_state,
+            data_reader.get_reader(batch_size, "dev"),
+            data_reader.index_word,
+            batch_size,
+            cfg.data.stop_idx,
+            cfg.data.padding_idx,
+        )
+        last_bleu = bleu
+        logger.log(
+            f"Dev set: BLEU {bleu:.7f} distinct sentences: {distinct} "
+            f"took: {time.time() - eval_begin:.2f}s"
+        )
+        logger.log_scalars("dev_bleu", epoch=epoch, bleu=bleu, distinct=distinct)
+
+        save_model(cfg, logger, params, opt_state, model_state, epoch, int(step), bleu)
+        logger.log(f"Epoch took {time.time() - begin:2f}s")
+
+    return {
+        "epochs": cfg.train.max_epoch,
+        "final_step": int(step),
+        "last_dev_bleu": last_bleu,
+        "best_bleu": logger.best_bleu,
+    }
