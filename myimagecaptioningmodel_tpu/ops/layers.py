@@ -104,7 +104,13 @@ def conv2d(
 ) -> jnp.ndarray:
     """NHWC conv; ``groups=C`` gives the depthwise path (XLA:TPU lowers both
     onto the MXU — replaces Paddle's custom depthwise CUDA kernel,
-    MobileNetV2.py:155-164)."""
+    MobileNetV2.py:155-164).
+
+    Output dtype == compute dtype: the MXU accumulates bf16 inputs in f32
+    internally either way, the following BatchNorm renormalizes in f32, and
+    a same-dtype output keeps the conv VJP well-typed (an f32 cotangent
+    against bf16 operands is rejected by lax.conv_general_dilated).
+    """
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         p["w"].astype(compute_dtype),
@@ -112,7 +118,6 @@ def conv2d(
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
 
 
