@@ -11,9 +11,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("url", help="image URL or local path")
     ap.add_argument("--config", default=None, help="path to a JSON config")
+    ap.add_argument("--beam", type=int, default=0, help="beam size (0/1 = greedy)")
     args = ap.parse_args()
     cfg = config_mod.Config.from_json_file(args.config) if args.config else config_mod.default
-    infer_mod.main(args.url, cfg)
+    infer_mod.main(args.url, cfg, beam_size=args.beam)
 
 
 if __name__ == "__main__":

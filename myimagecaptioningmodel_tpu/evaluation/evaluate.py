@@ -25,26 +25,39 @@ from myimagecaptioningmodel_tpu.models.captioner import ModelOptions
 from myimagecaptioningmodel_tpu.training import checkpoint as ckpt
 
 
-def load_bundle(cfg, bundle: str = "infer"):
-    """-> (params, model_state, bundle_cfg, opts, decode_fn)."""
+def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0):
+    """-> (params, model_state, bundle_cfg, opts, decode_fn).
+
+    ``beam_size`` 0/1 -> greedy; >1 -> beam search (north-star addition)."""
     opts = ModelOptions.from_config(cfg)
     like_params, like_state = captioner.init(jax.random.PRNGKey(0), opts)
     directory = os.path.join(cfg.train.checkpoint_path, bundle)
     params, model_state, bundle_cfg = ckpt.load_inference_bundle(
         directory, like_params, like_state
     )
-    decode = jax.jit(
-        lambda p, s, imgs: captioner.greedy_decode(p, s, imgs, opts)
-    )
+    if beam_size and beam_size > 1:
+        from myimagecaptioningmodel_tpu.inference.beam import beam_decode
+
+        decode = jax.jit(
+            lambda p, s, imgs: beam_decode(
+                p, s, imgs, opts, beam_size, stop_idx=cfg.data.stop_idx
+            )[0]
+        )
+    else:
+        decode = jax.jit(
+            lambda p, s, imgs: captioner.greedy_decode(p, s, imgs, opts)
+        )
     return params, model_state, bundle_cfg, opts, decode
 
 
-def evaluate(cfg=None, bundle: str = "infer", mode: str = "test") -> Dict[str, object]:
+def evaluate(
+    cfg=None, bundle: str = "infer", mode: str = "test", beam_size: int = 0
+) -> Dict[str, object]:
     """-> {'bleu': [b1,b2,b3,b4,mean], 'distinct_sentences': int|None}."""
     from myimagecaptioningmodel_tpu import config as config_mod
 
     cfg = cfg or config_mod.default
-    params, model_state, _bcfg, opts, decode = load_bundle(cfg, bundle)
+    params, model_state, _bcfg, opts, decode = load_bundle(cfg, bundle, beam_size)
 
     dr = DataReader(cfg)
     index_word = dr.index_word

@@ -1,0 +1,158 @@
+"""Batched beam-search decoding for the adaptive-attention decoder.
+
+The reference decodes greedy-only (model_adaAttention_aic.py:119-123); beam
+search is the rebuild's north-star addition (BASELINE.json configs[1]).
+
+TPU-first design: beams are folded into the batch axis ([B*W] rows through
+the same fused decode step the greedy path uses), the whole search is one
+``lax.scan`` of ``infer_max_length`` steps with static shapes, and candidate
+selection is ``jax.lax.top_k`` over the W*V expansion — no host round-trips,
+no dynamic shapes.
+
+Semantics:
+- log-softmax scores accumulated per beam;
+- a beam that has emitted ``<stop>`` is *finished*: it is forced to extend
+  only with ``<pad>`` at zero incremental score, so its total score freezes
+  and it keeps competing in top-k;
+- ``length_norm`` (default 0 = off) divides final scores by
+  ``len**length_norm`` before the final beam pick (GNMT-style);
+- ``beam_size=1`` reproduces greedy decode exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from myimagecaptioningmodel_tpu.models import decoder as decoder_mod
+from myimagecaptioningmodel_tpu.models.decoder import Precomputed
+
+NEG_INF = -1e9
+
+
+def _tile_beams(x: jnp.ndarray, beam: int) -> jnp.ndarray:
+    """[B, ...] -> [B*W, ...] with each row repeated W times."""
+    return jnp.repeat(x, beam, axis=0)
+
+
+def beam_search_ids(
+    params,
+    pre: Precomputed,
+    max_length: int,
+    beam_size: int = 4,
+    start_idx: int = 2,
+    stop_idx: int = 3,
+    padding_idx: int = 0,
+    length_norm: float = 0.0,
+    parity_mode: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (ids [B, max_length] of the best beam, scores [B])."""
+    B = pre.global_feat.shape[0]
+    W = beam_size
+    H = params["p_hid"]["w"].shape[0]
+    V = params["embedding"]["table"].shape[0]
+
+    pre_t = Precomputed(
+        _tile_beams(pre.img_v, W), _tile_beams(pre.img_k, W), _tile_beams(pre.global_feat, W)
+    )
+
+    h0 = jnp.zeros((B * W, H), jnp.float32)
+    c0 = jnp.zeros((B * W, H), jnp.float32)
+    word0 = jnp.full((B * W,), start_idx, jnp.int32)
+    # only beam 0 of each batch row is live initially (all beams identical)
+    scores0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((W - 1,), NEG_INF)])[None, :], (B, 1)
+    ).astype(jnp.float32)
+    finished0 = jnp.zeros((B, W), bool)
+    lengths0 = jnp.zeros((B, W), jnp.int32)
+
+    batch_offsets = (jnp.arange(B) * W)[:, None]  # [B,1] row base into [B*W]
+
+    def body(carry, _):
+        h, c, word, scores, finished, lengths = carry
+        h, c, logits = decoder_mod.step(
+            params, pre_t, word, h, c, parity_mode, padding_idx, compute_dtype
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*W, V]
+        logp = logp.reshape(B, W, V)
+
+        # finished beams may only emit <pad> at zero cost
+        pad_only = jnp.full((V,), NEG_INF).at[padding_idx].set(0.0)
+        logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+
+        cand = scores[..., None] + logp  # [B, W, V]
+        top_scores, top_flat = jax.lax.top_k(cand.reshape(B, W * V), W)  # [B, W]
+        src_beam = top_flat // V  # [B, W] which beam each winner came from
+        new_word = (top_flat % V).astype(jnp.int32)
+
+        gather = (batch_offsets + src_beam).reshape(-1)  # [B*W] rows into h/c
+        new_h = h[gather]
+        new_c = c[gather]
+        new_finished = jnp.take_along_axis(finished, src_beam, axis=1) | (
+            new_word == stop_idx
+        )
+        prev_finished = jnp.take_along_axis(finished, src_beam, axis=1)
+        new_lengths = jnp.take_along_axis(lengths, src_beam, axis=1) + (
+            ~prev_finished
+        ).astype(jnp.int32)
+
+        carry = (
+            new_h,
+            new_c,
+            new_word.reshape(-1),
+            top_scores,
+            new_finished,
+            new_lengths,
+        )
+        return carry, (new_word, src_beam)
+
+    (h, c, word, scores, finished, lengths), (words_tm, srcs_tm) = jax.lax.scan(
+        body, (h0, c0, word0, scores0, finished0, lengths0), None, length=max_length
+    )
+
+    # Backtrack: follow src_beam pointers from the final beams to step 0.
+    def back(beam_ptr, step):
+        words_t, srcs_t = step
+        word = jnp.take_along_axis(words_t, beam_ptr, axis=1)
+        beam_ptr = jnp.take_along_axis(srcs_t, beam_ptr, axis=1)
+        return beam_ptr, word
+
+    init_ptr = jnp.tile(jnp.arange(W)[None, :], (B, 1))
+    _, seq_rev = jax.lax.scan(
+        back, init_ptr, (words_tm[::-1], srcs_tm[::-1])
+    )
+    sequences = jnp.transpose(seq_rev[::-1], (1, 2, 0))  # [B, W, T]
+
+    final_scores = scores
+    if length_norm > 0:
+        final_scores = scores / jnp.maximum(lengths, 1).astype(jnp.float32) ** length_norm
+    best = jnp.argmax(final_scores, axis=1)  # [B]
+    ids = jnp.take_along_axis(sequences, best[:, None, None], axis=1)[:, 0, :]
+    best_scores = jnp.take_along_axis(final_scores, best[:, None], axis=1)[:, 0]
+    return ids.astype(jnp.int32), best_scores
+
+
+def beam_decode(params, state, images, opts, beam_size: int = 4,
+                length_norm: float = 0.0, stop_idx: int = 3):
+    """Full-model beam decode (encoder + search) -> (ids [B,T], scores [B])."""
+    from myimagecaptioningmodel_tpu.models import captioner
+
+    img_embed, _f, global_feat, _s = captioner.img2feature(
+        params, state, images, opts, train=False
+    )
+    pre = decoder_mod.precompute(params["decoder"], img_embed, global_feat, opts.dtype)
+    return beam_search_ids(
+        params["decoder"],
+        pre,
+        opts.infer_max_length,
+        beam_size,
+        opts.start_idx,
+        stop_idx,
+        opts.padding_idx,
+        length_norm,
+        opts.parity_mode,
+        opts.dtype,
+    )

@@ -33,8 +33,10 @@ def fetch_image(url_or_path: str) -> Image.Image:
     return Image.open(url_or_path)
 
 
-def caption_image(cfg, img: Image.Image, bundle: str = "infer") -> Tuple[List[int], str]:
-    """-> (raw id list, detokenized sentence)."""
+def caption_image(
+    cfg, img: Image.Image, bundle: str = "infer", beam_size: int = 0
+) -> Tuple[List[int], str]:
+    """-> (raw id list, detokenized sentence). ``beam_size>1`` = beam search."""
     arr = image_mod.process_image(
         img, cfg.data.image_shape, cfg.data.image_mean, cfg.data.image_std
     )
@@ -42,7 +44,7 @@ def caption_image(cfg, img: Image.Image, bundle: str = "infer") -> Tuple[List[in
         raise ValueError("image is not a 3-channel RGB image")
     batch = image_mod.chw_to_nhwc(arr[None])
 
-    params, model_state, _bcfg, _opts, decode = load_bundle(cfg, bundle)
+    params, model_state, _bcfg, _opts, decode = load_bundle(cfg, bundle, beam_size)
 
     from myimagecaptioningmodel_tpu.data.reader import DataReader
 
@@ -54,11 +56,11 @@ def caption_image(cfg, img: Image.Image, bundle: str = "infer") -> Tuple[List[in
     return ids, metrics.words2sentence(words)
 
 
-def main(url: str, cfg=None) -> str:
+def main(url: str, cfg=None, beam_size: int = 0) -> str:
     from myimagecaptioningmodel_tpu import config as config_mod
 
     cfg = cfg or config_mod.default
-    ids, sentence = caption_image(cfg, fetch_image(url))
+    ids, sentence = caption_image(cfg, fetch_image(url), beam_size=beam_size)
     print(ids)
     print(sentence)
     return sentence

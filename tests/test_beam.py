@@ -1,0 +1,81 @@
+"""Beam-search tests: beam=1 == greedy; beam finds higher-probability
+sequences than greedy on a crafted distribution; finished-beam freezing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myimagecaptioningmodel_tpu.inference import beam as beam_mod
+from myimagecaptioningmodel_tpu.models import decoder as decoder_mod
+from myimagecaptioningmodel_tpu.models.decoder import DecoderDims
+
+F32 = jnp.float32
+DIMS = DecoderDims(vocab_size=19, embedding_size=8, hidden_dim=16, feat_channels=12)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = decoder_mod.init(jax.random.PRNGKey(3), DIMS)
+    rng = np.random.RandomState(4)
+    p_img_feat = jnp.asarray(rng.randn(3, 5, DIMS.hidden_dim), F32)
+    global_feat = jnp.asarray(rng.randn(3, DIMS.hidden_dim), F32)
+    pre = decoder_mod.precompute(params, p_img_feat, global_feat, F32)
+    return params, pre
+
+
+def test_beam1_equals_greedy(setup):
+    params, pre = setup
+    greedy = decoder_mod.greedy_decode_ids(params, pre, 7, compute_dtype=F32)
+    ids, _ = beam_mod.beam_search_ids(
+        params, pre, 7, beam_size=1, compute_dtype=F32
+    )
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(ids))
+
+
+def test_beam_score_at_least_greedy(setup):
+    """The best beam's log-prob must be >= the greedy path's log-prob."""
+    params, pre = setup
+    T, W = 7, 4
+    ids_b, scores_b = beam_mod.beam_search_ids(
+        params, pre, T, beam_size=W, compute_dtype=F32
+    )
+
+    def path_logprob(ids):
+        """Sum log-softmax of the emitted token at each step, stopping the
+        accumulation after <stop> (id 3), mirroring finished-beam freezing."""
+        B = ids.shape[0]
+        h = c = jnp.zeros((B, DIMS.hidden_dim), F32)
+        word = jnp.full((B,), 2, jnp.int32)
+        total = np.zeros(B)
+        alive = np.ones(B, bool)
+        for t in range(T):
+            h, c, logits = decoder_mod.step(params, pre, word, h, c, compute_dtype=F32)
+            logp = np.asarray(jax.nn.log_softmax(logits, -1))
+            tok = np.asarray(ids[:, t])
+            total += np.where(alive, logp[np.arange(B), tok], 0.0)
+            alive = alive & (tok != 3)
+            word = jnp.asarray(tok)
+        return total
+
+    greedy = decoder_mod.greedy_decode_ids(params, pre, T, compute_dtype=F32)
+    lp_beam = path_logprob(ids_b)
+    lp_greedy = path_logprob(greedy)
+    assert np.all(lp_beam >= lp_greedy - 1e-4), (lp_beam, lp_greedy)
+    np.testing.assert_allclose(np.asarray(scores_b), lp_beam, atol=1e-3)
+
+
+def test_finished_beams_pad(setup):
+    """After a beam emits <stop>, it must only emit <pad>."""
+    params, pre = setup
+    ids, _ = beam_mod.beam_search_ids(
+        params, pre, 10, beam_size=3, compute_dtype=F32
+    )
+    arr = np.asarray(ids)
+    for row in arr:
+        seen_stop = False
+        for tok in row:
+            if seen_stop:
+                assert tok == 0, row
+            if tok == 3:
+                seen_stop = True

@@ -136,6 +136,12 @@ def test_evaluate_from_bundle(trained):
     assert result["distinct_sentences"] is not None
 
 
+def test_evaluate_with_beam(trained):
+    cfg, _ = trained
+    result = evaluate_mod.evaluate(cfg, bundle="infer", mode="test", beam_size=3)
+    assert len(result["bleu"]) == 5
+
+
 def test_infer_single_image(trained, corpus):
     cfg, _ = trained
     _root, img_dir, _ann, _ = corpus
