@@ -23,7 +23,7 @@ from typing import Callable, Iterator, Optional, Tuple
 
 import numpy as np
 
-from myimagecaptioningmodel_tpu.data.image import chw_to_nhwc
+from myimagecaptioningmodel_tpu import native
 
 _STOP = object()
 
@@ -51,7 +51,11 @@ class PrefetchingFeeder:
         imgs = np.stack([s[0] for s in samples])
         caps = np.stack([s[1] for s in samples])
         if self.to_nhwc:
-            imgs = chw_to_nhwc(imgs)
+            # fused convert(+f16 decode)+transpose in native threads; handles
+            # both raw float16 shard rows and pre-cast float32
+            imgs = native.convert_chw_to_nhwc_f32(imgs)
+        elif imgs.dtype != np.float32:
+            imgs = imgs.astype(np.float32)
         return imgs, caps
 
     def __iter__(self):

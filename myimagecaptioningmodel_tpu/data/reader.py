@@ -79,13 +79,24 @@ class DataReader:
     # ---- readers -------------------------------------------------------------
 
     def get_reader(
-        self, batch_size: Optional[int] = None, mode: str = "train"
+        self,
+        batch_size: Optional[int] = None,
+        mode: str = "train",
+        keep_float16: bool = False,
     ) -> Callable[[], Iterator[List[Sample]]]:
+        """``keep_float16=True`` yields raw float16 shard rows (half the host
+        memory traffic); the feeder's native converter produces the float32
+        NHWC device batch. Default matches the reference contract of float32
+        CHW samples (reader.py:45-47)."""
         if self._hdf5 is None:
             self.init_hdf5()
 
-        def h5_read(name: str) -> np.ndarray:
-            return self._hdf5.read(name).astype(np.float32)
+        if keep_float16:
+            h5_read = self._hdf5.read
+        else:
+
+            def h5_read(name: str) -> np.ndarray:
+                return self._hdf5.read(name).astype(np.float32)
 
         return self._get_reader(h5_read, batch_size, mode)
 

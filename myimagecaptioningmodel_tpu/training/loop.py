@@ -192,7 +192,7 @@ def train(
         prev_loss = None  # one-step-delayed NaN check
 
         feeder = PrefetchingFeeder(
-            data_reader.get_reader(batch_size, "train"),
+            data_reader.get_reader(batch_size, "train", keep_float16=True),
             capacity=cfg.train.data_loader_capacity,
             drop_remainder=True,
             sharding=batch_sharding,
