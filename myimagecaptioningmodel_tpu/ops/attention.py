@@ -32,21 +32,40 @@ def init_attention(key, hidden: int) -> Params:
 
 def adaptive_attention(
     p: Params,
-    feat_keys: jnp.ndarray,  # [B, k+1, H] projected keys (spatial + sentinel)
-    values: jnp.ndarray,  # [B, k+1, H] attention values (spatial + sentinel)
+    img_keys: jnp.ndarray,  # [B, k, H] projected spatial keys
+    img_values: jnp.ndarray,  # [B, k, H] spatial attention values
+    sent_key: jnp.ndarray,  # [B, H] projected sentinel key
+    sentinel: jnp.ndarray,  # [B, H] sentinel value
     hid_emb: jnp.ndarray,  # [B, H] projected decoder hidden
     parity_mode: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (context [B,H], alpha [B,k+1])."""
-    k1 = feat_keys.shape[1]
+    """Returns (context [B,H], alpha [B,k+1]).
+
+    The spatial slots and the sentinel slot are scored separately and only
+    the [B,k+1] score vector is combined — mathematically identical to the
+    reference's concat([img; sentinel]) formulation, but never materializes
+    per-step [B,k+1,H] concatenations (a pure HBM-bandwidth saving on the
+    35x-repeated decode step).
+    """
     if parity_mode:
-        # degenerate reference path: alpha==1, context = mean over slots
-        alpha = jnp.ones(values.shape[:2], values.dtype)
-        context = jnp.mean(values, axis=1)
+        # degenerate reference path: alpha==1, context = mean over k+1 slots
+        k1 = img_values.shape[1] + 1
+        alpha = jnp.ones((img_values.shape[0], k1), jnp.float32)
+        context = (
+            jnp.sum(img_values, axis=1).astype(jnp.float32) + sentinel
+        ) / k1
         return context, alpha
-    z = jnp.tanh(feat_keys + hid_emb[:, None, :])
-    e = dense(p["score"], z, compute_dtype)[..., 0]  # [B, k+1]
+    z_img = jnp.tanh(img_keys + hid_emb[:, None, :])
+    e_img = dense(p["score"], z_img, compute_dtype)[..., 0]  # [B, k]
+    z_sent = jnp.tanh(sent_key + hid_emb)
+    e_sent = dense(p["score"], z_sent, compute_dtype)  # [B, 1]
+    e = jnp.concatenate([e_img, e_sent], axis=-1)  # [B, k+1]
     alpha = jax.nn.softmax(e, axis=-1)
-    context = jnp.sum(alpha[..., None] * values, axis=1)
+    context = jnp.einsum(
+        "bk,bkh->bh",
+        alpha[:, :-1].astype(compute_dtype),
+        img_values.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    ) + alpha[:, -1:] * sentinel
     return context, alpha
