@@ -30,6 +30,14 @@ Params = Dict[str, Any]
 State = Dict[str, Any]
 
 
+def _on_tpu() -> bool:
+    """True when the default JAX backend is a TPU (incl. tunneled platforms)."""
+    try:
+        return any("tpu" in str(d).lower() for d in jax.devices())
+    except Exception:
+        return False
+
+
 class ModelOptions(NamedTuple):
     """Static (hashable) model options derived from config — safe to close
     over in jitted functions."""
@@ -42,6 +50,7 @@ class ModelOptions(NamedTuple):
     encoder_trainable: bool = True
     parity_mode: bool = False
     compute_dtype: str = "bfloat16"
+    use_pallas: bool = False  # fused Pallas kernels on the decode path (TPU)
 
     @classmethod
     def from_config(cls, cfg) -> "ModelOptions":
@@ -55,6 +64,7 @@ class ModelOptions(NamedTuple):
             encoder_trainable=md.encoder.encoder_trainable,
             parity_mode=md.parity_mode,
             compute_dtype=md.compute_dtype,
+            use_pallas=_on_tpu(),
         )
 
     @property
@@ -151,4 +161,5 @@ def greedy_decode(
         opts.parity_mode,
         opts.padding_idx,
         opts.dtype,
+        use_pallas=opts.use_pallas,
     )

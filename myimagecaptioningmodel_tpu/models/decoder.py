@@ -113,7 +113,7 @@ def precompute(
     return Precomputed(img_v, img_k, global_feat)
 
 
-def step(
+def step_core(
     params: Params,
     pre: Precomputed,
     word: jnp.ndarray,  # [B] int ids
@@ -123,7 +123,7 @@ def step(
     padding_idx: int = 0,
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One decode step -> (h, c, logits [B,V])."""
+    """One decode step up to the tied-vocab head -> (h, c, proj [B,E])."""
     dt = compute_dtype
     word_emb = L.embed(params["embedding"], word, padding_idx)
     xt = jnp.concatenate([word_emb, pre.global_feat], axis=-1)
@@ -149,15 +149,36 @@ def step(
     out = jnp.tanh(L.dense(params["out"], context + p_hid, dt))
 
     proj = L.dense(params["out_proj"], out, dt)  # [B, E]
-    logits = (
+    return h, c, proj
+
+
+def head_logits(params: Params, proj: jnp.ndarray, compute_dtype=jnp.bfloat16):
+    """Tied-embedding vocab head: proj @ E^T + bias -> [B, V] float32."""
+    return (
         jnp.matmul(
-            proj.astype(dt),
-            params["embedding"]["table"].T.astype(dt),
+            proj.astype(compute_dtype),
+            params["embedding"]["table"].T.astype(compute_dtype),
             preferred_element_type=jnp.float32,
         )
         + params["out_bias"]
     )
-    return h, c, logits
+
+
+def step(
+    params: Params,
+    pre: Precomputed,
+    word: jnp.ndarray,
+    h_prev: jnp.ndarray,
+    c_prev: jnp.ndarray,
+    parity_mode: bool = False,
+    padding_idx: int = 0,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step -> (h, c, logits [B,V])."""
+    h, c, proj = step_core(
+        params, pre, word, h_prev, c_prev, parity_mode, padding_idx, compute_dtype
+    )
+    return h, c, head_logits(params, proj, compute_dtype)
 
 
 def _zero_state(batch: int, hidden: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -198,6 +219,7 @@ def greedy_decode_ids(
     parity_mode: bool = False,
     padding_idx: int = 0,
     compute_dtype=jnp.bfloat16,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Greedy decode: argmax feedback for ``max_length`` steps -> ids [B,T].
 
@@ -206,18 +228,37 @@ def greedy_decode_ids(
     metric/detokenizer truncates (evaluate.py:15-25). Ids stay int32
     end-to-end — the reference's float-cast (:122-123) is not reproduced
     (SURVEY §2.2 quirk 2: rebuild keeps int ids).
+
+    ``use_pallas=True`` runs the tied-vocab head + argmax as one fused Pallas
+    kernel (ops/pallas/vocab_head.py) so the [B,V] logits never leave VMEM.
     """
     B = pre.global_feat.shape[0]
     H = params["p_hid"]["w"].shape[0]
     h0, c0 = _zero_state(B, H)
     word0 = jnp.full((B,), start_idx, jnp.int32)
 
+    if use_pallas:
+        from myimagecaptioningmodel_tpu.ops.pallas.vocab_head import (
+            greedy_vocab_argmax,
+        )
+
+        def argmax_head(proj):
+            return greedy_vocab_argmax(
+                proj, params["embedding"]["table"], params["out_bias"]
+            )
+
+    else:
+
+        def argmax_head(proj):
+            logits = head_logits(params, proj, compute_dtype)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
     def body(carry, _):
         h, c, word = carry
-        h, c, logits = step(
+        h, c, proj = step_core(
             params, pre, word, h, c, parity_mode, padding_idx, compute_dtype
         )
-        next_word = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_word = argmax_head(proj)
         return (h, c, next_word), next_word
 
     _, ids_tm = jax.lax.scan(body, (h0, c0, word0), None, length=max_length)
