@@ -42,6 +42,7 @@ from myimagecaptioningmodel_tpu.parallel.train_step import build_steps, make_opt
 from myimagecaptioningmodel_tpu.training import checkpoint as ckpt
 from myimagecaptioningmodel_tpu.training import lr_schedules
 from myimagecaptioningmodel_tpu.training.logger import Logger
+from myimagecaptioningmodel_tpu.utils.profiling import StepTimer
 
 
 def _dev_eval(decode_fn, params, model_state, reader_gen, index_word, batch_size,
@@ -190,6 +191,7 @@ def train(
         logger.log(f"Epoch {epoch}")
         epoch_loss, nsteps = 0.0, 0
         prev_loss = None  # one-step-delayed NaN check
+        timer = StepTimer("train_step")
 
         feeder = PrefetchingFeeder(
             data_reader.get_reader(batch_size, "train", keep_float16=True),
@@ -198,9 +200,10 @@ def train(
             sharding=batch_sharding,
         )
         for imgs, caps in feeder:
-            params, opt_state, model_state, step, loss, lr = steps.train_step(
-                params, opt_state, model_state, step, imgs, caps
-            )
+            with timer:
+                params, opt_state, model_state, step, loss, lr = steps.train_step(
+                    params, opt_state, model_state, step, imgs, caps
+                )
             if prev_loss is not None:
                 lval = float(prev_loss)
                 if np.isnan(lval):
@@ -226,6 +229,7 @@ def train(
         mean_loss = epoch_loss / max(nsteps, 1)
         logger.log(f"Epoch loss: {mean_loss:7f}")
         logger.log_scalars("epoch_loss", epoch=epoch, loss=mean_loss, steps=nsteps)
+        logger.log_scalars("step_times", epoch=epoch, **timer.summary())
 
         eval_begin = time.time()
         bleu, distinct = _dev_eval(
