@@ -103,6 +103,7 @@ def img2feature(
         train=train,
         trainable=opts.encoder_trainable,
         compute_dtype=dt,
+        use_pallas=opts.use_pallas,
     )
     B = feat.shape[0]
     feat = feat.reshape(B, -1, feat.shape[-1])  # [B, 49, 1280] (NHWC flatten)

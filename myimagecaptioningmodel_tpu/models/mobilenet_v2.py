@@ -93,8 +93,16 @@ def apply(
     use_pooling: bool = False,
     scale: float = 1.0,
     compute_dtype=jnp.bfloat16,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, State]:
-    """Forward pass -> ([B,7,7,1280] features or [B,1280] pooled, new state)."""
+    """Forward pass -> ([B,7,7,1280] features or [B,1280] pooled, new state).
+
+    ``use_pallas=True`` (eval mode only) runs each inverted-residual block as
+    one fused Pallas kernel with BN folded into the conv weights — the
+    expanded 6x activations never touch HBM (ops/pallas/fused_irb.py).
+    """
+    if use_pallas and not train:
+        return _apply_fused_eval(params, state, x, use_pooling, scale, compute_dtype)
     if not trainable:
         # per-call freeze — replaces the reference's ParamAttr(trainable=False)
         # monkey-patch; BN moving stats still update in train mode, matching
@@ -131,3 +139,43 @@ def apply(
     if use_pooling:
         x = jnp.mean(x, axis=(1, 2))
     return x, new_state
+
+
+def _apply_fused_eval(
+    params: Params,
+    state: State,
+    x: jnp.ndarray,
+    use_pooling: bool,
+    scale: float,
+    compute_dtype,
+) -> Tuple[jnp.ndarray, State]:
+    """Inference forward with fused-IRB Pallas kernels (BN folded, state unchanged)."""
+    from myimagecaptioningmodel_tpu.ops.pallas import fused_irb as F
+
+    def conv_bn_eval(name, x, stride, padding, groups=1, if_act=True):
+        wf, bf = F.fold_bn(
+            params[name]["conv"]["w"], params[name]["bn"], state[name]["bn"]
+        )
+        y = L.conv2d({"w": wf}, x, stride, padding, groups, compute_dtype)
+        y = (y.astype(jnp.float32) + bf).astype(compute_dtype)
+        return L.relu6(y) if if_act else y
+
+    x = x.astype(compute_dtype)
+    x = conv_bn_eval("conv1_1", x, 2, 1)
+
+    in_c = int(32 * scale)
+    for stage, (t, c, n, s_) in enumerate(BOTTLENECK_PARAMS, start=2):
+        c = int(c * scale)
+        for i in range(1, n + 1):
+            name = f"conv{stage}_{i}"
+            stride = s_ if i == 1 else 1
+            bp = {k: params[f"{name}_{k}"] for k in ("expand", "dwise", "linear")}
+            bs = {k: state[f"{name}_{k}"] for k in ("expand", "dwise", "linear")}
+            folded = F.fold_irb(bp, bs)
+            x = F.fused_inverted_residual(x, folded, stride, shortcut=(i > 1))
+            in_c = c
+
+    x = conv_bn_eval("conv9", x, 1, 0)
+    if use_pooling:
+        x = jnp.mean(x, axis=(1, 2))
+    return x, state
