@@ -100,6 +100,10 @@ class DecoderConfig:
     sentence_length: int = 35  # training captions incl. <start>/<stop>
     hidden_dim: int = 1024  # lstm hidden / sentinel size
     infer_max_length: int = 35
+    # rebuild-only: embedding/logits rows padded up to a multiple of this
+    # (MXU lane alignment + divisibility for vocab tensor parallelism);
+    # padded entries get a -1e9 output bias so they can never be decoded.
+    vocab_pad_multiple: int = 128
 
 
 @dataclass(frozen=True)

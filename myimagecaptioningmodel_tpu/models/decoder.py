@@ -42,6 +42,16 @@ class DecoderDims(NamedTuple):
     embedding_size: int = 256
     hidden_dim: int = 1024
     feat_channels: int = 1280  # encoder output channels
+    vocab_pad_multiple: int = 1
+
+    @property
+    def padded_vocab(self) -> int:
+        """Table/logits rows: vocab rounded up for MXU lane alignment and
+        vocab-TP divisibility. Padded entries carry a -1e9 output bias, so
+        they have softmax probability 0 (zero CE gradient) and never win the
+        decode argmax/top-k."""
+        m = self.vocab_pad_multiple
+        return -(-self.vocab_size // m) * m
 
     @classmethod
     def from_config(cls, md) -> "DecoderDims":
@@ -50,6 +60,7 @@ class DecoderDims(NamedTuple):
             embedding_size=md.decoder.embedding_size,
             hidden_dim=md.decoder.hidden_dim,
             feat_channels=md.encoder.encoder_channel,
+            vocab_pad_multiple=getattr(md.decoder, "vocab_pad_multiple", 1),
         )
 
 
@@ -63,10 +74,13 @@ def init(key, dims: DecoderDims, parity_init: bool = False) -> Params:
         dims.embedding_size,
         dims.hidden_dim,
         dims.feat_channels,
-        dims.vocab_size,
+        dims.padded_vocab,
     )
     ks = iter(jax.random.split(key, 16))
     emb_scale = None if parity_init else 1.0 / (E**0.5)
+    out_bias = jnp.zeros((V,), jnp.float32)
+    if V > dims.vocab_size:  # mask padded vocab rows out of the softmax
+        out_bias = out_bias.at[dims.vocab_size :].set(-1e9)
     return {
         "embedding": L.init_embedding(next(ks), V, E, scale=emb_scale),
         "lstm": init_lstm(next(ks), E + H, H),
@@ -86,7 +100,7 @@ def init(key, dims: DecoderDims, parity_init: bool = False) -> Params:
         "out": L.init_dense(next(ks), H, H),  # -> tanh
         # weight tying head: proj to E, matmul embeddingᵀ, add vocab bias
         "out_proj": L.init_dense(next(ks), H, E),
-        "out_bias": jnp.zeros((V,), jnp.float32),
+        "out_bias": out_bias,
     }
 
 

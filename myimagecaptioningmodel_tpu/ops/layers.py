@@ -110,15 +110,55 @@ def conv2d(
     internally either way, the following BatchNorm renormalizes in f32, and
     a same-dtype output keeps the conv VJP well-typed (an f32 cotangent
     against bf16 operands is rejected by lax.conv_general_dilated).
+
+    Depthwise convs (groups == channels) are expressed as k*k explicit
+    shifted multiply-accumulates instead of a grouped
+    ``conv_general_dilated``: XLA's SPMD partitioner miscompiles the grouped-
+    conv *gradient* when the batch is sharded over a strict subset of the
+    mesh (observed: (data=4, model=2) mesh, grads off by ~30%; exact when
+    expressed as elementwise taps), and the taps formulation is what the VPU
+    executes for depthwise anyway.
     """
+    w = p["w"]
+    if groups > 1 and w.shape[2] == 1 and groups == x.shape[-1]:
+        return _depthwise_conv_taps(w, x, stride, padding, compute_dtype)
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
-        p["w"].astype(compute_dtype),
+        w.astype(compute_dtype),
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
+
+
+def _depthwise_conv_taps(
+    w: jnp.ndarray,  # [k, k, 1, C] HWIO
+    x: jnp.ndarray,  # [B, H, W, C]
+    stride: int,
+    padding: int,
+    compute_dtype,
+) -> jnp.ndarray:
+    """Depthwise conv as k*k shifted FMAs (f32 accumulate, sharding-safe)."""
+    k = w.shape[0]
+    B, H, W, C = x.shape
+    x = x.astype(compute_dtype)
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    Ho = (H + 2 * padding - k) // stride + 1
+    Wo = (W + 2 * padding - k) // stride + 1
+    w32 = w.astype(jnp.float32)
+    acc = jnp.zeros((B, Ho, Wo, C), jnp.float32)
+    for dy in range(k):
+        for dx in range(k):
+            tap = jax.lax.slice(
+                x,
+                (0, dy, dx, 0),
+                (B, dy + (Ho - 1) * stride + 1, dx + (Wo - 1) * stride + 1, C),
+                (1, stride, stride, 1),
+            )
+            acc = acc + tap.astype(jnp.float32) * w32[dy, dx, 0]
+    return acc.astype(compute_dtype)
 
 
 # ---- batch norm ---------------------------------------------------------------

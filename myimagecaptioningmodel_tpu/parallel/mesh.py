@@ -51,3 +51,40 @@ def shard_batch(mesh: Mesh, *arrays):
     s = batch_sharding(mesh)
     out = tuple(jax.device_put(a, s) for a in arrays)
     return out if len(out) > 1 else out[0]
+
+
+def param_shardings(mesh: Mesh, params):
+    """Sharding pytree for the model params: tensor-parallel vocab head.
+
+    When the mesh has a ``model`` axis of size > 1, the tied embedding table
+    [V, E] and the output bias [V] are sharded over the vocab dimension;
+    everything else is replicated. GSPMD then partitions the tied-head
+    matmul, the cross-entropy logsumexp, and the decode argmax across the
+    ``model`` axis, inserting the collectives (this model's only
+    vocab-sized tensors — TP beyond the head is out of scope, SURVEY §2.5).
+    """
+    repl = NamedSharding(mesh, P())
+    shardings = jax.tree_util.tree_map(lambda _: repl, params)
+    if mesh.shape[MODEL_AXIS] > 1 and "decoder" in params:
+        dec = shardings["decoder"]
+        dec["embedding"]["table"] = NamedSharding(mesh, P(MODEL_AXIS, None))
+        dec["out_bias"] = NamedSharding(mesh, P(MODEL_AXIS))
+    return shardings
+
+
+def opt_state_shardings(mesh: Mesh, opt_state, params, p_shardings):
+    """Match optimizer-state leaves that mirror param shapes to the param
+    shardings (Adam's m/v mirror params); everything else replicated."""
+    repl = NamedSharding(mesh, P())
+    flat_params, _ = jax.tree_util.tree_flatten(params)
+    flat_shard, _ = jax.tree_util.tree_flatten(p_shardings)
+    by_shape = {}
+    for p, s in zip(flat_params, flat_shard):
+        by_shape.setdefault((p.shape, p.dtype), s)
+
+    def pick(leaf):
+        if hasattr(leaf, "shape"):
+            return by_shape.get((leaf.shape, leaf.dtype), repl)
+        return repl
+
+    return jax.tree_util.tree_map(pick, opt_state)

@@ -46,9 +46,20 @@ def build_steps(
     schedule,
     mesh=None,
     donate: bool = True,
+    params_sharding=None,
+    opt_sharding=None,
 ) -> TrainStepFns:
-    """Compile-ready train/decode steps. With a mesh, batch args are sharded
-    over the data axis and everything else is replicated."""
+    """Compile-ready train/decode steps.
+
+    With a mesh, batch args are sharded over the ``data`` axis; params/opt
+    state follow ``params_sharding``/``opt_sharding`` (pytrees of
+    NamedShardings from ``mesh_mod.param_shardings`` — replicated by default,
+    vocab-head tensors sharded over the ``model`` axis under TP)."""
+
+    if mesh is not None and mesh.shape.get(mesh_mod.MODEL_AXIS, 1) > 1:
+        # the fused Pallas greedy head assumes an unsharded embedding table;
+        # under vocab-TP the GSPMD head (partitioned matmul + argmax) is used
+        opts = opts._replace(use_pallas=False)
 
     def train_step(params, opt_state, model_state, step, images, captions):
         def lf(p):
@@ -69,15 +80,17 @@ def build_steps(
     else:
         repl = mesh_mod.replicated(mesh)
         batch = mesh_mod.batch_sharding(mesh)
+        p_sh = params_sharding if params_sharding is not None else repl
+        o_sh = opt_sharding if opt_sharding is not None else repl
         jit_train = jax.jit(
             train_step,
-            in_shardings=(repl, repl, repl, repl, batch, batch),
-            out_shardings=(repl, repl, repl, repl, repl, repl),
+            in_shardings=(p_sh, o_sh, repl, repl, batch, batch),
+            out_shardings=(p_sh, o_sh, repl, repl, repl, repl),
             donate_argnums=(0, 1, 2, 3) if donate else (),
         )
         jit_decode = jax.jit(
             decode_step,
-            in_shardings=(repl, repl, batch),
+            in_shardings=(p_sh, repl, batch),
             out_shardings=batch,
         )
     return TrainStepFns(jit_train, jit_decode)

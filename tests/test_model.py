@@ -136,6 +136,32 @@ def test_greedy_decode_deterministic_and_feedback(dec_params, pre_inputs):
         np.testing.assert_array_equal(_np(ids1[:, t]), _np(word))
 
 
+def test_padded_vocab_never_decoded():
+    """vocab_pad_multiple pads the table; -1e9 bias keeps padded ids out of
+    argmax and out of the softmax (zero probability)."""
+    dims = DecoderDims(vocab_size=17, embedding_size=8, hidden_dim=16,
+                       feat_channels=12, vocab_pad_multiple=16)
+    assert dims.padded_vocab == 32
+    params = decoder_mod.init(jax.random.PRNGKey(1), dims)
+    assert params["embedding"]["table"].shape == (32, 8)
+    assert float(params["out_bias"][20]) == -1e9
+    rng = np.random.RandomState(5)
+    pre = decoder_mod.precompute(
+        params,
+        jnp.asarray(rng.randn(3, K, dims.hidden_dim), F32),
+        jnp.asarray(rng.randn(3, dims.hidden_dim), F32),
+        F32,
+    )
+    ids = decoder_mod.greedy_decode_ids(params, pre, 8, compute_dtype=F32)
+    assert int(np.asarray(ids).max()) < 17
+    # padded entries have softmax prob 0 -> no CE gradient
+    h = c = jnp.zeros((3, dims.hidden_dim), F32)
+    _, _, logits = decoder_mod.step(params, pre, jnp.asarray([2, 2, 2]), h, c,
+                                    compute_dtype=F32)
+    probs = np.asarray(jax.nn.softmax(logits, -1))
+    assert probs[:, 17:].max() == 0.0
+
+
 # ---- MobileNetV2 ---------------------------------------------------------------
 
 

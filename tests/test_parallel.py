@@ -18,7 +18,7 @@ from myimagecaptioningmodel_tpu.training import lr_schedules
 def tiny_opts():
     return ModelOptions(
         dims=DecoderDims(vocab_size=17, embedding_size=8, hidden_dim=16,
-                         feat_channels=1280),
+                         feat_channels=1280, vocab_pad_multiple=8),
         sentence_length=5,
         infer_max_length=5,
         compute_dtype="float32",
@@ -93,6 +93,45 @@ def test_dp_train_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     assert int(st8) == 1
     assert float(lr8) == pytest.approx(1e-3)
+
+
+def test_dp_tp_train_step_matches_single_device(setup):
+    """(4 data x 2 model) mesh with the vocab head sharded over `model`:
+    train + decode must match single-device semantics."""
+    opts, cfg, schedule, optimizer, params, state, opt_state, images, caps = setup
+    step0 = jnp.zeros((), jnp.int32)
+
+    single = build_steps(opts, optimizer, schedule, mesh=None, donate=False)
+    p1, o1, s1, st1, loss1, lr1 = single.train_step(
+        params, opt_state, state, step0, images, caps
+    )
+    ids1 = np.asarray(single.decode_step(p1, s1, images))
+
+    mesh = mesh_mod.make_mesh(model_parallel=2)
+    p_sh = mesh_mod.param_shardings(mesh, params)
+    o_sh = mesh_mod.opt_state_shardings(mesh, opt_state, params, p_sh)
+    # the embedding table really is sharded over the model axis
+    emb_spec = p_sh["decoder"]["embedding"]["table"].spec
+    assert emb_spec == jax.sharding.PartitionSpec("model", None)
+
+    tp = build_steps(
+        opts, optimizer, schedule, mesh=mesh, donate=False,
+        params_sharding=p_sh, opt_sharding=o_sh,
+    )
+    params_tp = jax.device_put(params, p_sh)
+    opt_tp = jax.device_put(opt_state, o_sh)
+    imgs_sh, caps_sh = mesh_mod.shard_batch(mesh, images, caps)
+    p2, o2, s2, st2, loss2, lr2 = tp.train_step(
+        params_tp, opt_tp, state, step0, imgs_sh, caps_sh
+    )
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        a, b = np.asarray(a), np.asarray(b)
+        diff = np.linalg.norm(a - b)
+        assert diff <= max(2e-3 * (np.linalg.norm(a) + 1e-8), 5e-4)
+
+    ids2 = np.asarray(tp.decode_step(p2, s2, mesh_mod.shard_batch(mesh, images)))
+    np.testing.assert_array_equal(ids1, ids2)
 
 
 def test_dp_decode_matches_single_device(setup):
