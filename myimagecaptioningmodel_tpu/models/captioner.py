@@ -51,6 +51,9 @@ class ModelOptions(NamedTuple):
     parity_mode: bool = False
     compute_dtype: str = "bfloat16"
     use_pallas: bool = False  # fused Pallas kernels on the decode path (TPU)
+    # taps-form depthwise convs (sharding-safe gradients under TP; slower) —
+    # flipped automatically by parallel/train_step.py for TP training
+    safe_depthwise: bool = False
 
     @classmethod
     def from_config(cls, cfg) -> "ModelOptions":
@@ -103,7 +106,7 @@ def img2feature(
         train=train,
         trainable=opts.encoder_trainable,
         compute_dtype=dt,
-        use_pallas=opts.use_pallas,
+        safe_depthwise=opts.safe_depthwise,
     )
     B = feat.shape[0]
     feat = feat.reshape(B, -1, feat.shape[-1])  # [B, 49, 1280] (NHWC flatten)

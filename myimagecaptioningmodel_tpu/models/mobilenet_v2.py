@@ -47,9 +47,10 @@ def _init_conv_bn(key, in_ch: int, out_ch: int, kernel: int, groups: int = 1):
 
 def _apply_conv_bn(
     p, s, x, stride: int, padding: int, groups: int, if_act: bool,
-    train: bool, compute_dtype,
+    train: bool, compute_dtype, safe_depthwise: bool = False,
 ):
-    x = L.conv2d(p["conv"], x, stride, padding, groups, compute_dtype)
+    x = L.conv2d(p["conv"], x, stride, padding, groups, compute_dtype,
+                 safe_depthwise=safe_depthwise)
     x, bn_s = L.batch_norm(p["bn"], s["bn"], x, train)
     if if_act:
         x = L.relu6(x)
@@ -93,15 +94,18 @@ def apply(
     use_pooling: bool = False,
     scale: float = 1.0,
     compute_dtype=jnp.bfloat16,
-    use_pallas: bool = False,
+    use_fused_irb: bool = False,
+    safe_depthwise: bool = False,
 ) -> Tuple[jnp.ndarray, State]:
     """Forward pass -> ([B,7,7,1280] features or [B,1280] pooled, new state).
 
-    ``use_pallas=True`` (eval mode only) runs each inverted-residual block as
-    one fused Pallas kernel with BN folded into the conv weights — the
-    expanded 6x activations never touch HBM (ops/pallas/fused_irb.py).
+    ``use_fused_irb=True`` (eval mode only, EXPERIMENTAL — currently slower
+    than the XLA path: its halo DMA is not yet double-buffered) runs each
+    inverted-residual block as one fused Pallas kernel with BN folded into
+    the conv weights, keeping the expanded 6x activations out of HBM
+    (ops/pallas/fused_irb.py).
     """
-    if use_pallas and not train:
+    if use_fused_irb and not train:
         return _apply_fused_eval(params, state, x, use_pooling, scale, compute_dtype)
     if not trainable:
         # per-call freeze — replaces the reference's ParamAttr(trainable=False)
@@ -113,7 +117,7 @@ def apply(
     def conv_bn(name, x, stride, padding, groups=1, if_act=True):
         y, s = _apply_conv_bn(
             params[name], state[name], x, stride, padding, groups, if_act,
-            train, compute_dtype,
+            train, compute_dtype, safe_depthwise,
         )
         new_state[name] = s
         return y

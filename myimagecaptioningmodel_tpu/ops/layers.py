@@ -101,6 +101,7 @@ def conv2d(
     padding: int = 0,
     groups: int = 1,
     compute_dtype=jnp.bfloat16,
+    safe_depthwise: bool = False,
 ) -> jnp.ndarray:
     """NHWC conv; ``groups=C`` gives the depthwise path (XLA:TPU lowers both
     onto the MXU — replaces Paddle's custom depthwise CUDA kernel,
@@ -111,16 +112,18 @@ def conv2d(
     a same-dtype output keeps the conv VJP well-typed (an f32 cotangent
     against bf16 operands is rejected by lax.conv_general_dilated).
 
-    Depthwise convs (groups == channels) are expressed as k*k explicit
-    shifted multiply-accumulates instead of a grouped
+    ``safe_depthwise=True`` expresses depthwise convs (groups == channels)
+    as k*k explicit shifted multiply-accumulates instead of a grouped
     ``conv_general_dilated``: XLA's SPMD partitioner miscompiles the grouped-
     conv *gradient* when the batch is sharded over a strict subset of the
     mesh (observed: (data=4, model=2) mesh, grads off by ~30%; exact when
-    expressed as elementwise taps), and the taps formulation is what the VPU
-    executes for depthwise anyway.
+    expressed as elementwise taps). The taps form is ~1.7x slower on TPU
+    than the tuned grouped-conv lowering, so it is only enabled for training
+    under tensor parallelism (parallel/train_step.py flips it). Forward-only
+    paths and full-mesh data parallelism are unaffected by the bug.
     """
     w = p["w"]
-    if groups > 1 and w.shape[2] == 1 and groups == x.shape[-1]:
+    if safe_depthwise and groups > 1 and w.shape[2] == 1 and groups == x.shape[-1]:
         return _depthwise_conv_taps(w, x, stride, padding, compute_dtype)
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype),

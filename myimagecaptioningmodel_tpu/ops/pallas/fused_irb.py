@@ -92,24 +92,26 @@ def _kernel(
     dma.start()
     dma.wait()
 
+    w_pad = xwin.shape[1]  # W rounded up to the 8-sublane tile
     x = xwin[:].astype(jnp.float32)
     # expand (1x1 conv == matmul over channels) + BN bias + relu6
     e = _relu6(
         jax.lax.dot_general(
-            x.reshape(wrows * w_in, cin), we_ref[:].astype(jnp.float32),
+            x.reshape(wrows * w_pad, cin), we_ref[:].astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         + be_ref[0, :]
-    ).reshape(wrows, w_in, cexp)
+    ).reshape(wrows, w_pad, cexp)
 
     # zero out-of-image halo rows (padded coords: real rows are 1..h_in)
     row_abs = jax.lax.broadcasted_iota(jnp.int32, (wrows, 1, 1), 0) + iw0
     e = jnp.where((row_abs >= 1) & (row_abs <= h_in), e, 0.0)
 
-    # column-pad by one zero on each side (image W boundary)
+    # column-pad by one zero on each side (image W boundary); drop the
+    # W-alignment padding columns (their expand output is garbage relu6(be))
     e_ref[:] = jnp.zeros_like(e_ref)
-    e_ref[:, 1 : w_in + 1, :] = e
+    e_ref[:, 1 : w_in + 1, :] = e[:, :w_in, :]
 
     # 3x3 depthwise at ``stride`` + BN bias + relu6, expanded tensor in VMEM
     ea = e_ref[:]
@@ -141,7 +143,8 @@ def _kernel(
         + bp_ref[0, :]
     ).reshape(th, w_out, -1)
     if shortcut:  # stride 1, Cin == Cout: residual rows are xwin[1 : th+1]
-        out = out + xwin[1 : th + 1, :, :].astype(jnp.float32)
+        cout = out_ref.shape[3]
+        out = out + xwin[1 : th + 1, :w_in, :cout].astype(jnp.float32)
     out_ref[0] = out.astype(act_dtype)
 
 
@@ -163,6 +166,20 @@ def fused_inverted_residual(
     wrows = th * stride + 2
     act_dtype = x.dtype
 
+    # Channels padded to the 128-lane tile and W to the 8-sublane tile so
+    # the halo DMA slices are tile-aligned (physically ~free: the tiled HBM
+    # layout pads both dims anyway); expand weights grow matching zero rows
+    # and the kernel drops the padded columns after the expand matmul.
+    cin_pad = -(-Cin // 128) * 128
+    w_pad = -(-W // 8) * 8
+    we = folded.we
+    if cin_pad != Cin:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_pad - Cin)))
+        we = jnp.pad(we, ((0, cin_pad - Cin), (0, 0)))
+    if w_pad != W:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, w_pad - W), (0, 0)))
+    folded = folded._replace(we=we)
+
     x_pad = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
 
     grid = (B, Hout // th)
@@ -178,7 +195,7 @@ def fused_inverted_residual(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x_pad: manual halo DMA
-            pl.BlockSpec((Cin, Cexp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin_pad, Cexp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cexp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((9, Cexp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cexp), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
@@ -190,7 +207,7 @@ def fused_inverted_residual(
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hout, Wout, Cout), act_dtype),
         scratch_shapes=[
-            pltpu.VMEM((wrows, W, Cin), act_dtype),
+            pltpu.VMEM((wrows, w_pad, cin_pad), act_dtype),
             pltpu.VMEM((wrows, W + 2, Cexp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],

@@ -57,9 +57,10 @@ def build_steps(
     vocab-head tensors sharded over the ``model`` axis under TP)."""
 
     if mesh is not None and mesh.shape.get(mesh_mod.MODEL_AXIS, 1) > 1:
-        # the fused Pallas greedy head assumes an unsharded embedding table;
-        # under vocab-TP the GSPMD head (partitioned matmul + argmax) is used
-        opts = opts._replace(use_pallas=False)
+        # under vocab-TP: the fused Pallas greedy head assumes an unsharded
+        # embedding table -> use the GSPMD head; and grouped-conv gradients
+        # miscompile under partial batch sharding -> taps-form depthwise
+        opts = opts._replace(use_pallas=False, safe_depthwise=True)
 
     def train_step(params, opt_state, model_state, step, images, captions):
         def lf(p):

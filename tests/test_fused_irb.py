@@ -70,7 +70,7 @@ def test_full_encoder_fused_eval_matches_unfused():
     ref, _ = mobilenet_v2.apply(params, state, x, train=False, compute_dtype=jnp.float32)
     with pltpu.force_tpu_interpret_mode():
         out, out_state = mobilenet_v2.apply(
-            params, state, x, train=False, compute_dtype=jnp.float32, use_pallas=True
+            params, state, x, train=False, compute_dtype=jnp.float32, use_fused_irb=True
         )
     assert out.shape == ref.shape
     assert out_state is state  # eval: no BN state change
