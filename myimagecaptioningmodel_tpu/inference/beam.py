@@ -55,9 +55,7 @@ def beam_search_ids(
     H = params["p_hid"]["w"].shape[0]
     V = params["embedding"]["table"].shape[0]
 
-    pre_t = Precomputed(
-        _tile_beams(pre.img_v, W), _tile_beams(pre.img_k, W), _tile_beams(pre.global_feat, W)
-    )
+    pre_t = Precomputed(*(_tile_beams(t, W) for t in pre))
 
     h0 = jnp.zeros((B * W, H), jnp.float32)
     c0 = jnp.zeros((B * W, H), jnp.float32)

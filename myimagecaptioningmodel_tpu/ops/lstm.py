@@ -45,6 +45,14 @@ def lstm_cell(
         )
         + p["b"]
     )
+    return lstm_from_gates(gates, c_prev)
+
+
+def lstm_from_gates(
+    gates: jnp.ndarray, c_prev: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply the gate nonlinearities to precomputed gate pre-activations
+    [.., 4H] (i, f, g, o order) -> (h, c)."""
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
     h = jax.nn.sigmoid(o) * jnp.tanh(c)
