@@ -168,26 +168,23 @@ def step_core(
     # LSTM over xt = [word_emb ; global_img_feat]: the global part of the
     # gates is precomputed (pre.lstm_gx); only the word and h_prev rows of
     # the weight matrix are touched per step.
+    # per-step dots stay in compute dtype (bf16 backward too); the cast to
+    # f32 happens once, so the cell-state arithmetic is full precision
     lw = params["lstm"]["w"]
     gates = (
-        jnp.matmul(word_emb.astype(dt), lw[:E].astype(dt),
-                   preferred_element_type=jnp.float32)
-        + jnp.matmul(h_prev.astype(dt), lw[E + H :].astype(dt),
-                     preferred_element_type=jnp.float32)
-        + pre.lstm_gx
-        + params["lstm"]["b"]
-    )
+        jnp.matmul(word_emb.astype(dt), lw[:E].astype(dt))
+        + jnp.matmul(h_prev.astype(dt), lw[E + H :].astype(dt))
+    ).astype(jnp.float32) + pre.lstm_gx + params["lstm"]["b"]
     h, c = lstm_from_gates(gates, c_prev)
 
     # visual sentinel from the PREVIOUS hidden state (reference :89-92);
     # gate_x's global-feat part is precomputed (pre.gate_gx)
     gw = params["gate_x"]["w"]
     gate = jax.nn.sigmoid(
-        jnp.matmul(word_emb.astype(dt), gw[:E].astype(dt),
-                   preferred_element_type=jnp.float32)
+        jnp.matmul(word_emb.astype(dt), gw[:E].astype(dt)).astype(jnp.float32)
         + pre.gate_gx
         + params["gate_x"]["b"]
-        + L.dense(params["gate_h"], h_prev, dt)
+        + L.dense(params["gate_h"], h_prev, dt).astype(jnp.float32)
     )
     sentinel = gate * jnp.tanh(c)
 
@@ -208,13 +205,15 @@ def step_core(
 
 
 def head_logits(params: Params, proj: jnp.ndarray, compute_dtype=jnp.bfloat16):
-    """Tied-embedding vocab head: proj @ E^T + bias -> [B, V] float32."""
+    """Tied-embedding vocab head: proj @ E^T + bias -> [B, V] float32.
+
+    The dot runs (fwd and bwd) in the compute dtype; the f32 upcast before
+    the bias keeps softmax/logsumexp math in full precision."""
+    dt = compute_dtype
     return (
         jnp.matmul(
-            proj.astype(compute_dtype),
-            params["embedding"]["table"].T.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
+            proj.astype(dt), params["embedding"]["table"].T.astype(dt)
+        ).astype(jnp.float32)
         + params["out_bias"]
     )
 
@@ -248,8 +247,15 @@ def teacher_forcing_logits(
     parity_mode: bool = False,
     padding_idx: int = 0,
     compute_dtype=jnp.bfloat16,
+    remat: bool = True,
 ) -> jnp.ndarray:
-    """Training forward: scan the cell over the time axis -> logits [B,T,V]."""
+    """Training forward: scan the cell over the time axis -> logits [B,T,V].
+
+    ``remat=True`` checkpoints the step: the backward pass recomputes the
+    cell instead of storing its per-step intermediates (notably the
+    [B,k,H] attention tensors — ~870 MB of residuals per batch-128 step
+    otherwise), trading cheap recompute FLOPs for HBM traffic.
+    """
     B = source.shape[0]
     H = params["p_hid"]["w"].shape[0]
     h0, c0 = _zero_state(B, H)
@@ -262,6 +268,8 @@ def teacher_forcing_logits(
         )
         return (h, c), logits
 
+    if remat:
+        body = jax.checkpoint(body)
     _, logits_tm = jax.lax.scan(body, (h0, c0), words_tm)
     return jnp.transpose(logits_tm, (1, 0, 2))  # [B, T, V]
 

@@ -56,16 +56,17 @@ def adaptive_attention(
             jnp.sum(img_values, axis=1).astype(jnp.float32) + sentinel
         ) / k1
         return context, alpha
-    z_img = jnp.tanh(img_keys + hid_emb[:, None, :])
-    e_img = dense(p["score"], z_img, compute_dtype)[..., 0]  # [B, k]
-    z_sent = jnp.tanh(sent_key + hid_emb)
-    e_sent = dense(p["score"], z_sent, compute_dtype)  # [B, 1]
-    e = jnp.concatenate([e_img, e_sent], axis=-1)  # [B, k+1]
-    alpha = jax.nn.softmax(e, axis=-1)
-    context = jnp.einsum(
-        "bk,bkh->bh",
-        alpha[:, :-1].astype(compute_dtype),
-        img_values.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    ) + alpha[:, -1:] * sentinel
+    dt = compute_dtype
+    z_img = jnp.tanh(img_keys.astype(dt) + hid_emb.astype(dt)[:, None, :])
+    e_img = dense(p["score"], z_img, dt)[..., 0]  # [B, k]
+    z_sent = jnp.tanh(sent_key.astype(dt) + hid_emb.astype(dt))
+    e_sent = dense(p["score"], z_sent, dt)  # [B, 1]
+    e = jnp.concatenate([e_img, e_sent], axis=-1).astype(jnp.float32)
+    alpha = jax.nn.softmax(e, axis=-1)  # [B, k+1], float32
+    context = (
+        jnp.einsum(
+            "bk,bkh->bh", alpha[:, :-1].astype(dt), img_values.astype(dt)
+        ).astype(jnp.float32)
+        + alpha[:, -1:] * sentinel
+    )
     return context, alpha

@@ -46,14 +46,19 @@ def init_dense(key, in_dim: int, out_dim: int, use_bias: bool = True) -> Params:
 
 
 def dense(p: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """y = x @ W (+ b); bf16 MXU matmul, float32 accumulate/output."""
-    y = jnp.matmul(
-        x.astype(compute_dtype),
-        p["w"].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
+    """y = x @ W (+ b), computed AND returned in ``compute_dtype``.
+
+    The output deliberately stays in the compute dtype (MXU accumulation is
+    f32 internally either way): an f32 output would make every *backward*
+    matmul run with f32 cotangents against f32-promoted weights — streaming
+    f32 weights from HBM and skipping the bf16 MXU path (observed 2x on the
+    train step). Callers upcast at numerically sensitive points (BN, cell
+    state, softmax/logsumexp).
+    """
+    dt = compute_dtype
+    y = jnp.matmul(x.astype(dt), p["w"].astype(dt))
     if "b" in p:
-        y = y + p["b"]
+        y = y + p["b"].astype(dt)
     return y
 
 

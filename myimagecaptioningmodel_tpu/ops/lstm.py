@@ -35,14 +35,10 @@ def lstm_cell(
     c = sigmoid(f) * c_prev + sigmoid(i) * tanh(g)
     h = sigmoid(o) * tanh(c)
     """
-    hidden = h_prev.shape[-1]
     xh = jnp.concatenate([x, h_prev], axis=-1)
     gates = (
-        jnp.matmul(
-            xh.astype(compute_dtype),
-            p["w"].astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
+        jnp.matmul(xh.astype(compute_dtype), p["w"].astype(compute_dtype))
+        .astype(jnp.float32)
         + p["b"]
     )
     return lstm_from_gates(gates, c_prev)
