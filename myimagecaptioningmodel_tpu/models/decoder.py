@@ -256,21 +256,78 @@ def teacher_forcing_logits(
     [B,k,H] attention tensors — ~870 MB of residuals per batch-128 step
     otherwise), trading cheap recompute FLOPs for HBM traffic.
     """
-    B = source.shape[0]
+    B, T = source.shape
     H = params["p_hid"]["w"].shape[0]
+    dt = compute_dtype
     h0, c0 = _zero_state(B, H)
-    words_tm = jnp.transpose(source, (1, 0))  # time-major, like reference :60
 
-    def body(carry, word_t):
+    # --- everything that does not feed the recurrence is batched over time.
+    # The scan body keeps ONLY h/c and the h-recurrent matmul: a scan's
+    # backward otherwise accumulates every weight gradient as a carried
+    # f32 buffer (~70 MB/step here), which dominates HBM traffic; batched
+    # ops get their weight grads as single large matmuls instead.
+    word_emb = L.embed(params["embedding"], source, padding_idx)  # [B,T,E]
+    E = word_emb.shape[-1]
+    lw = params["lstm"]["w"]
+    gx = (
+        jnp.matmul(word_emb.astype(dt), lw[:E].astype(dt)).astype(jnp.float32)
+        + pre.lstm_gx[:, None, :]
+        + params["lstm"]["b"]
+    )  # [B,T,4H] word + global + bias gate pre-activations
+    gx_tm = jnp.transpose(gx, (1, 0, 2))  # time-major
+    w_hh = lw[E + H :].astype(dt)
+
+    def body(carry, gx_t):
         h, c = carry
-        h, c, logits = step(
-            params, pre, word_t, h, c, parity_mode, padding_idx, compute_dtype
-        )
-        return (h, c), logits
+        gates = gx_t + jnp.matmul(h.astype(dt), w_hh).astype(jnp.float32)
+        h, c = lstm_from_gates(gates, c_prev=c)
+        return (h, c), (h, c)
 
     if remat:
         body = jax.checkpoint(body)
-    _, logits_tm = jax.lax.scan(body, (h0, c0), words_tm)
+    _, (hs, cs) = jax.lax.scan(body, (h0, c0), gx_tm)  # [T,B,H] each
+    h_prev_seq = jnp.concatenate([h0[None], hs[:-1]], axis=0)  # h_{t-1}
+
+    # --- batched post-recurrence decode math (identical to step_core) ------
+    gw = params["gate_x"]["w"]
+    gate = jax.nn.sigmoid(
+        jnp.transpose(
+            jnp.matmul(word_emb.astype(dt), gw[:E].astype(dt)), (1, 0, 2)
+        ).astype(jnp.float32)
+        + pre.gate_gx
+        + params["gate_x"]["b"]
+        + L.dense(params["gate_h"], h_prev_seq, dt).astype(jnp.float32)
+    )
+    sentinel = gate * jnp.tanh(cs)  # [T,B,H]
+
+    p_hid = jnp.tanh(L.dense(params["p_hid"], hs, dt))
+    hid_emb = L.dense(params["hid_emb"], p_hid, dt)
+    sent_key = L.dense(params["sent_emb"], sentinel, dt)
+
+    if parity_mode:
+        k1 = pre.img_v.shape[1] + 1
+        context = (
+            jnp.sum(pre.img_v, axis=1).astype(jnp.float32)[None] + sentinel
+        ) / k1
+    else:
+        # additive attention, all steps at once: z over [T,B,k,H] stays a
+        # fused tanh+dot epilogue; only [T,B,k] scores materialize
+        z_img = jnp.tanh(pre.img_k[None].astype(dt) + hid_emb[:, :, None, :])
+        e_img = L.dense(params["attention"]["score"], z_img, dt)[..., 0]
+        z_sent = jnp.tanh(sent_key + hid_emb)
+        e_sent = L.dense(params["attention"]["score"], z_sent, dt)
+        e = jnp.concatenate([e_img, e_sent], axis=-1).astype(jnp.float32)
+        alpha = jax.nn.softmax(e, axis=-1)  # [T,B,k+1]
+        context = (
+            jnp.einsum(
+                "tbk,bkh->tbh", alpha[..., :-1].astype(dt), pre.img_v.astype(dt)
+            ).astype(jnp.float32)
+            + alpha[..., -1:] * sentinel
+        )
+
+    out = jnp.tanh(L.dense(params["out"], context + p_hid, dt))
+    proj = L.dense(params["out_proj"], out, dt)  # [T,B,E]
+    logits_tm = head_logits(params, proj, dt)  # [T,B,V]
     return jnp.transpose(logits_tm, (1, 0, 2))  # [B, T, V]
 
 
