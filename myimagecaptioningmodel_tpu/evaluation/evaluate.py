@@ -67,14 +67,12 @@ def evaluate(
     bleu_score = [0.0] * 5
     sentences = set()
     batches = 0
-    for batch in reader():
-        imgs, refs = zip(*batch)
-        n = len(imgs)
-        stacked = chw_to_nhwc(np.stack(imgs).astype(np.float32))
-        if n < batch_size:
-            pad = np.zeros((batch_size - n, *stacked.shape[1:]), stacked.dtype)
-            stacked = np.concatenate([stacked, pad])
-        ids = np.asarray(jax.device_get(decode(params, model_state, stacked)))[:n]
+
+    # software-pipelined: device decodes batch i+1 while the host scores
+    # batch i (4x NLTK-style BLEU per batch is the host hot loop)
+    def score(ids_dev, refs, n):
+        nonlocal batches
+        ids = np.asarray(jax.device_get(ids_dev))[:n]
         for i, vec in enumerate(metrics.BLEU_WEIGHT_VECTORS):
             bleu_score[i] += metrics.calc_bleu(
                 ids, refs, index_word, vec,
@@ -90,6 +88,21 @@ def evaluate(
                     )
                 )
         batches += 1
+
+    pending = None
+    for batch in reader():
+        imgs, refs = zip(*batch)
+        n = len(imgs)
+        stacked = chw_to_nhwc(np.stack(imgs).astype(np.float32))
+        if n < batch_size:
+            pad = np.zeros((batch_size - n, *stacked.shape[1:]), stacked.dtype)
+            stacked = np.concatenate([stacked, pad])
+        ids_dev = decode(params, model_state, stacked)
+        if pending is not None:
+            score(*pending)
+        pending = (ids_dev, refs, n)
+    if pending is not None:
+        score(*pending)
 
     for i in range(4):
         bleu_score[i] /= max(batches, 1)

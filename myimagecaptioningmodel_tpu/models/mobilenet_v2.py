@@ -99,11 +99,13 @@ def apply(
 ) -> Tuple[jnp.ndarray, State]:
     """Forward pass -> ([B,7,7,1280] features or [B,1280] pooled, new state).
 
-    ``use_fused_irb=True`` (eval mode only, EXPERIMENTAL — currently slower
-    than the XLA path: its halo DMA is not yet double-buffered) runs each
-    inverted-residual block as one fused Pallas kernel with BN folded into
-    the conv weights, keeping the expanded 6x activations out of HBM
-    (ops/pallas/fused_irb.py).
+    ``use_fused_irb=True`` (eval mode only, EXPERIMENTAL) runs the
+    inverted-residual blocks as fused Pallas kernels with BN folded into the
+    conv weights, keeping the expanded 6x activations out of HBM
+    (ops/pallas/fused_irb.py). Measured on v5e @ batch 128 it is ~2x slower
+    on-device than XLA's conv pipeline (5.9 ms vs 2.8 ms — XLA's conv
+    fusions are already excellent here), so it stays opt-in; kept as
+    infrastructure and a worked example of VMEM-resident block fusion.
     """
     if use_fused_irb and not train:
         return _apply_fused_eval(params, state, x, use_pooling, scale, compute_dtype)
@@ -167,6 +169,12 @@ def _apply_fused_eval(
     x = x.astype(compute_dtype)
     x = conv_bn_eval("conv1_1", x, 2, 1)
 
+    # Blocks run fused-in-VMEM while a whole image fits the VMEM budget
+    # (8 <= H <= 56 at batch scale); activations stay in the padded chain
+    # format between fused blocks so no per-layer pad copies happen. The two
+    # 112-row blocks and the tiny 7-row blocks use the BN-folded XLA path.
+    chained = False
+    real_w = x.shape[2]
     in_c = int(32 * scale)
     for stage, (t, c, n, s_) in enumerate(BOTTLENECK_PARAMS, start=2):
         c = int(c * scale)
@@ -176,8 +184,26 @@ def _apply_fused_eval(
             bp = {k: params[f"{name}_{k}"] for k in ("expand", "dwise", "linear")}
             bs = {k: state[f"{name}_{k}"] for k in ("expand", "dwise", "linear")}
             folded = F.fold_irb(bp, bs)
-            x = F.fused_inverted_residual(x, folded, stride, shortcut=(i > 1))
+            h = real_w  # square maps throughout
+            # whole-image blocks fit the 16MB scoped VMEM once H <= 56
+            # (the 112-row blocks overflow by ~2%); sub-8 maps hit Mosaic
+            # reshape limits — both run the BN-folded XLA path instead
+            use_chain = 8 <= h <= 56
+            if use_chain and not chained:
+                x = F.pad_activation(x)
+                chained = True
+            elif not use_chain and chained:
+                x = F.strip_activation(x, in_c, real_w)
+                chained = False
+            if chained:
+                x = F.fused_irb_chain(x, folded, stride, shortcut=(i > 1),
+                                      real_w=real_w)
+            else:
+                x = F.reference_irb(x, folded, stride, shortcut=(i > 1))
             in_c = c
+            real_w //= stride
+    if chained:
+        x = F.strip_activation(x, in_c, real_w)
 
     x = conv_bn_eval("conv9", x, 1, 0)
     if use_pooling:

@@ -49,17 +49,16 @@ def _dev_eval(decode_fn, params, model_state, reader_gen, index_word, batch_size
               stop_idx, padding_idx):
     """Per-epoch dev greedy decode + BLEU + distinct sentences
     (reference train.py:152-167). Pads the final partial batch to keep one
-    compiled decode executable; metrics only see the real rows."""
+    compiled decode executable; metrics only see the real rows.
+
+    The loop is software-pipelined: the device decodes batch i+1 while the
+    host scores batch i (host-side BLEU is the eval hot loop, SURVEY §7)."""
     bleu_total, batches = 0.0, 0
     sentences = set()
-    for batch in reader_gen():
-        imgs, refs = zip(*batch)
-        n = len(imgs)
-        stacked = chw_to_nhwc(np.stack(imgs))
-        if n < batch_size:
-            pad = np.zeros((batch_size - n, *stacked.shape[1:]), stacked.dtype)
-            stacked = np.concatenate([stacked, pad])
-        ids = np.asarray(jax.device_get(decode_fn(params, model_state, stacked)))[:n]
+
+    def score(ids_dev, refs, n):
+        nonlocal bleu_total, batches
+        ids = np.asarray(jax.device_get(ids_dev))[:n]
         bleu_total += metrics.calc_bleu(
             ids, refs, index_word, stop_idx=stop_idx, padding_idx=padding_idx
         )
@@ -70,6 +69,21 @@ def _dev_eval(decode_fn, params, model_state, reader_gen, index_word, batch_size
                     metrics.filter_ids(row, index_word, stop_idx, padding_idx)
                 )
             )
+
+    pending = None
+    for batch in reader_gen():
+        imgs, refs = zip(*batch)
+        n = len(imgs)
+        stacked = chw_to_nhwc(np.stack(imgs))
+        if n < batch_size:
+            pad = np.zeros((batch_size - n, *stacked.shape[1:]), stacked.dtype)
+            stacked = np.concatenate([stacked, pad])
+        ids_dev = decode_fn(params, model_state, stacked)  # async dispatch
+        if pending is not None:
+            score(*pending)
+        pending = (ids_dev, refs, n)
+    if pending is not None:
+        score(*pending)
     if batches == 0:
         return 0.0, 0
     return bleu_total / batches, len(sentences)

@@ -22,22 +22,22 @@ def make_folded(rng, cin, cexp, cout):
 
 
 @pytest.mark.parametrize(
-    "h,cin,cexp,cout,stride,shortcut,th",
+    "h,cin,cexp,cout,stride,shortcut",
     [
-        (8, 8, 24, 8, 1, True, 4),
-        (8, 8, 24, 16, 1, False, 4),
-        (8, 8, 24, 16, 2, False, 2),
-        (14, 16, 48, 16, 1, True, 7),
-        (14, 16, 48, 24, 2, False, 7),
+        (8, 8, 24, 8, 1, True),
+        (8, 8, 24, 16, 1, False),
+        (8, 8, 24, 16, 2, False),
+        (14, 16, 48, 16, 1, True),
+        (14, 16, 48, 24, 2, False),
     ],
 )
-def test_fused_irb_matches_reference(h, cin, cexp, cout, stride, shortcut, th):
+def test_fused_irb_matches_reference(h, cin, cexp, cout, stride, shortcut):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, h, h, cin) * 0.5, jnp.float32)
     folded = make_folded(rng, cin, cexp, cout)
     ref = F.reference_irb(x, folded, stride, shortcut)
     with pltpu.force_tpu_interpret_mode():
-        out = F.fused_inverted_residual(x, folded, stride, shortcut, row_tile=th)
+        out = F.fused_inverted_residual(x, folded, stride, shortcut)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
