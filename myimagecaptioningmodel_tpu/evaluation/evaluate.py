@@ -67,6 +67,8 @@ def evaluate(
     bleu_score = [0.0] * 5
     sentences = set()
     batches = 0
+    cider_cands: list = []
+    cider_refs: list = []
 
     # software-pipelined: device decodes batch i+1 while the host scores
     # batch i (4x NLTK-style BLEU per batch is the host hot loop)
@@ -78,15 +80,14 @@ def evaluate(
                 ids, refs, index_word, vec,
                 stop_idx=cfg.data.stop_idx, padding_idx=cfg.data.padding_idx,
             )
-        if cfg.evaluate.sentence_statistics:
-            for row in ids.tolist():
-                sentences.add(
-                    metrics.words2sentence(
-                        metrics.filter_ids(
-                            row, index_word, cfg.data.stop_idx, cfg.data.padding_idx
-                        )
-                    )
-                )
+        for row, r in zip(ids.tolist(), refs):
+            words = metrics.filter_ids(
+                row, index_word, cfg.data.stop_idx, cfg.data.padding_idx
+            )
+            cider_cands.append(words)
+            cider_refs.append(list(r))
+            if cfg.evaluate.sentence_statistics:
+                sentences.add(metrics.words2sentence(words))
         batches += 1
 
     pending = None
@@ -108,12 +109,17 @@ def evaluate(
         bleu_score[i] /= max(batches, 1)
     bleu_score[4] = sum(bleu_score[:4]) / 4
 
+    from myimagecaptioningmodel_tpu.evaluation.cider import CiderD
+
+    cider, _per_image = CiderD().score(cider_cands, cider_refs)
+
     print("BLEU [{:.7f}, {:.7f}, {:.7f}, {:.7f}] {:.7f}".format(*bleu_score))
+    print(f"CIDEr-D: {cider:.7f}")
     distinct = None
     if cfg.evaluate.sentence_statistics:
         distinct = len(sentences)
         print(f"distinct sentences: {distinct}")
-    return {"bleu": bleu_score, "distinct_sentences": distinct}
+    return {"bleu": bleu_score, "cider": cider, "distinct_sentences": distinct}
 
 
 if __name__ == "__main__":

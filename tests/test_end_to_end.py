@@ -134,6 +134,7 @@ def test_evaluate_from_bundle(trained):
     assert len(result["bleu"]) == 5
     assert all(0.0 <= b <= 1.0 for b in result["bleu"])
     assert result["distinct_sentences"] is not None
+    assert result["cider"] >= 0.0
 
 
 def test_evaluate_with_beam(trained):
@@ -149,6 +150,21 @@ def test_infer_single_image(trained, corpus):
     ids, sentence = infer_mod.caption_image(cfg, infer_mod.fetch_image(img_path))
     assert len(ids) == cfg.model.decoder.infer_max_length
     assert isinstance(sentence, str)
+
+
+def test_batch_caption_directory(trained, corpus, tmp_path):
+    from myimagecaptioningmodel_tpu.inference.batch_caption import caption_directory
+
+    cfg, _ = trained
+    _root, img_dir, _ann, _ = corpus
+    out = tmp_path / "captions.jsonl"
+    results = caption_directory(cfg, str(img_dir), str(out), batch_size=4)
+    assert len(results) == 16
+    assert all("caption" in r or "error" in r for r in results)
+    lines = out.read_text(encoding="utf-8").strip().split("\n")
+    assert len(lines) == 16
+    rec = json.loads(lines[0])
+    assert set(rec) >= {"image", "ids", "caption"}
 
 
 def test_resume_equivalence(corpus, trained):
