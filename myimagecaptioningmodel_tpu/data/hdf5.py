@@ -52,6 +52,9 @@ class Hdf5Manager:
         self.close()
         paths = [db_path] if isinstance(db_path, str) else list(db_path)
 
+        # shard order: directories in the given order, shards sorted by
+        # index within each directory (a directory may hold either a single
+        # ``name.hdf5`` or a ``name.hdf5_K`` split set)
         shards: List[str] = []
         for dirpath in paths:
             files = os.listdir(dirpath)
@@ -63,10 +66,10 @@ class Hdf5Manager:
             base = _DB_NAME_FILTER.findall(matched[0])[0]
             if not all(_DB_NAME_FILTER.findall(n)[0] == base for n in matched):
                 raise ValueError(f"multiple datasets found under {dirpath}")
+            matched.sort(
+                key=lambda n: int((_DB_INDEX_FILTER.findall(n) or [-1])[0])
+            )
             shards.extend(os.path.join(dirpath, n) for n in matched)
-
-        if len(shards) > 1:
-            shards.sort(key=lambda p: int(_DB_INDEX_FILTER.findall(p)[0]))
 
         total = 0
         for path in shards:

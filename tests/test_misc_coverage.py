@@ -1,0 +1,135 @@
+"""Coverage for the remaining corners: config serialization, logger
+run-state, multi-directory HDF5, feeder error propagation, the standalone
+LSTM cell, and the real jieba segmenter."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myimagecaptioningmodel_tpu import config as config_mod
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = config_mod.Config.from_dict(
+        {
+            "train": {"batch_size": 32, "gradient_clip": 1.5},
+            "model": {
+                "decoder": {"vocab_size": 99, "vocab_pad_multiple": 16},
+                "parity_mode": True,
+            },
+            "data": {"h5_path": ["/a", "/b"]},
+        }
+    )
+    p = tmp_path / "cfg.json"
+    p.write_text(cfg.to_json())
+    cfg2 = config_mod.Config.from_json_file(str(p))
+    assert cfg2.train.batch_size == 32
+    assert cfg2.train.gradient_clip == 1.5
+    assert cfg2.model.decoder.vocab_size == 99
+    assert cfg2.model.parity_mode is True
+    assert cfg2.data.h5_path == ("/a", "/b")
+    # reference aliases
+    assert cfg2.dc is cfg2.data and cfg2.md is cfg2.model
+
+
+def test_replace_nested():
+    cfg = config_mod.Config()
+    cfg2 = config_mod.replace_nested(cfg, "model.decoder.hidden_dim", 64)
+    assert cfg2.model.decoder.hidden_dim == 64
+    assert cfg.model.decoder.hidden_dim == 1024  # original untouched
+
+
+def test_logger_persistence(tmp_path):
+    from myimagecaptioningmodel_tpu.training.logger import Logger
+
+    log = Logger(str(tmp_path), encoder_trainable=True)
+    assert log.is_first_init and log.epoch == 1
+    log.epoch = 3
+    log.best_bleu = 0.25
+    log.log("hello")
+    log.log_scalars("test", value=1.0)
+
+    log2 = Logger(str(tmp_path))
+    assert not log2.is_first_init
+    assert log2.epoch == 3 and log2.best_bleu == 0.25
+    assert "hello" in (tmp_path / "log.txt").read_text()
+    rec = json.loads((tmp_path / "log.jsonl").read_text().strip())
+    assert rec["event"] == "test"
+
+
+def test_hdf5_multi_directory(tmp_path):
+    from myimagecaptioningmodel_tpu.data import hdf5
+
+    shape = (3, 4, 4)
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    data = np.random.RandomState(0).rand(5, *shape).astype(np.float16)
+    with hdf5.DbBuilder(str(d1), "db", shape, 2, 3, "float16") as b:
+        for row in data[:3]:
+            b.append(row)
+    with hdf5.DbBuilder(str(d2), "db", shape, 2, 2, "float16") as b:
+        for row in data[3:]:
+            b.append(row)
+    mgr = hdf5.Hdf5Manager()
+    mgr.load_database([str(d1), str(d2)])
+    assert len(mgr) == 5
+    np.testing.assert_array_equal(mgr.read_index(4), data[4])
+    with pytest.raises(IndexError):
+        mgr.read_index(5)
+    mgr.close()
+
+
+def test_feeder_propagates_worker_errors():
+    from myimagecaptioningmodel_tpu.data.feeder import PrefetchingFeeder
+
+    def bad_reader():
+        yield [(np.zeros((3, 4, 4), np.float32), np.zeros(5, np.int64))]
+        raise RuntimeError("boom")
+
+    feeder = PrefetchingFeeder(lambda: bad_reader(), capacity=2,
+                               drop_remainder=False, device_put=False)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(feeder)
+
+
+def test_lstm_cell_standalone():
+    from myimagecaptioningmodel_tpu.ops.lstm import init_lstm, lstm_cell
+
+    p = init_lstm(jax.random.PRNGKey(0), 8, 16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8), jnp.float32)
+    h = jnp.asarray(rng.randn(2, 16), jnp.float32)
+    c = jnp.asarray(rng.randn(2, 16), jnp.float32)
+    h2, c2 = lstm_cell(p, x, h, c, jnp.float32)
+    assert h2.shape == (2, 16) and c2.shape == (2, 16)
+    # oracle
+    xh = np.concatenate([np.asarray(x), np.asarray(h)], -1)
+    gates = xh @ np.asarray(p["w"]) + np.asarray(p["b"])
+    i, f, g, o = np.split(gates, 4, -1)
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    c_ref = sig(f) * np.asarray(c) + sig(i) * np.tanh(g)
+    h_ref = sig(o) * np.tanh(c_ref)
+    np.testing.assert_allclose(np.asarray(h2), h_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c2), c_ref, atol=1e-5)
+
+
+def test_jieba_segmenter_available():
+    from myimagecaptioningmodel_tpu.data.segmenter import get_segmenter
+
+    name, seg = get_segmenter("jieba")
+    words = seg("一个男人在打篮球")
+    assert name == "jieba"
+    assert isinstance(words, list) and len(words) >= 3
+    assert "".join(words) == "一个男人在打篮球"
+
+
+def test_segmenter_auto_fallback():
+    from myimagecaptioningmodel_tpu.data.segmenter import get_segmenter
+
+    name, seg = get_segmenter("auto")  # pkuseg missing here -> jieba
+    assert name in ("pkuseg", "jieba")
+    name, seg = get_segmenter("space")
+    assert seg("a b  c") == ["a", "b", "c"]
