@@ -1,0 +1,125 @@
+"""Entry-point tests: the reference's CLI surface (train.py / evaluate.py /
+infer.py, SURVEY §1 L4) driven as real subprocesses on a tiny corpus."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# strip every TPU/axon var so subprocesses run pure-CPU JAX (the ambient
+# sitecustomize would otherwise try to register the tunneled TPU backend)
+ENV = {
+    k: v
+    for k, v in os.environ.items()
+    if not (k.startswith(("PALLAS_AXON", "AXON", "TPU", "LIBTPU")))
+}
+ENV.update(
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8",
+)
+
+
+def run_cli(args, timeout=420):
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=ENV,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    records = []
+    phrases = ["一个 男人 在 打 篮球", "一只 猫 在 睡觉", "一个 女人 在 跑步"]
+    for i in range(8):
+        name = f"img_{i}.jpg"
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+            img_dir / name
+        )
+        records.append({"image_id": name, "caption": [phrases[i % 3]]})
+    (root / "ann.json").write_text(
+        json.dumps(records, ensure_ascii=False), encoding="utf-8"
+    )
+    out = root / "ds"
+    cfg = {
+        "build_dataset": {
+            "image_paths": [str(img_dir)],
+            "annotation_path": str(root / "ann.json"),
+            "output_path": str(out),
+            "h5_name2idx": str(out / "name2idx.json"),
+        },
+        "data": {
+            "image_shape": [32, 32],
+            "dict_path": str(out),
+            "h5_path": [str(out)],
+            "h5_name2idx": str(out / "name2idx.json"),
+        },
+        "train": {
+            "seed": 0,
+            "batch_size": 2,
+            "max_epoch": 1,
+            "checkpoint_path": str(root / "save"),
+            "log_every_n_step": 2,
+        },
+        "model": {
+            "decoder": {
+                "vocab_size": 0,
+                "embedding_size": 8,
+                "sentence_length": 0,
+                "hidden_dim": 16,
+                "infer_max_length": 8,
+                "vocab_pad_multiple": 1,
+            },
+            "compute_dtype": "float32",
+        },
+        "log": {"log_path": str(root / "log")},
+    }
+
+    # offline build (in-process; the CLI module main is covered elsewhere)
+    from myimagecaptioningmodel_tpu import config as config_mod
+    from myimagecaptioningmodel_tpu.data import dataset_gen
+
+    summary = dataset_gen.build_all(
+        config_mod.Config.from_dict(cfg), segmenter="space", split_seed=0
+    )
+    cfg["model"]["decoder"]["vocab_size"] = summary["tokenize"]["vocab_size"]
+    cfg["model"]["decoder"]["sentence_length"] = summary["tokenize"]["max_len"]
+    cfg_path = root / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    # train via the CLI here so every test below is order-independent
+    r = run_cli(["train.py", "--config", str(cfg_path)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    return root, img_dir, str(cfg_path), r
+
+
+def test_train_cli(corpus_cfg):
+    root, _img, cfg_path, r = corpus_cfg
+    assert "Epoch 1" in r.stdout
+    assert os.path.exists(root / "save" / "infer" / "params.msgpack")
+
+
+def test_evaluate_cli(corpus_cfg):
+    root, _img, cfg_path, _r = corpus_cfg
+    r = run_cli(["evaluate.py", "--config", cfg_path])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "BLEU [" in r.stdout
+    assert "CIDEr-D" in r.stdout
+
+
+def test_infer_cli_local_path(corpus_cfg):
+    root, img_dir, cfg_path, _r = corpus_cfg
+    img = str(img_dir / "img_0.jpg")
+    r = run_cli(["infer.py", img, "--config", cfg_path])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.strip().split("\n") if l]
+    assert lines[-2].startswith("[")  # raw id list (reference contract)
