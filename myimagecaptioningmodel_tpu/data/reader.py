@@ -83,11 +83,16 @@ class DataReader:
         batch_size: Optional[int] = None,
         mode: str = "train",
         keep_float16: bool = False,
+        shuffle_seed: Optional[int] = None,
     ) -> Callable[[], Iterator[List[Sample]]]:
         """``keep_float16=True`` yields raw float16 shard rows (half the host
         memory traffic); the feeder's native converter produces the float32
         NHWC device batch. Default matches the reference contract of float32
-        CHW samples (reader.py:45-47)."""
+        CHW samples (reader.py:45-47).
+
+        ``shuffle_seed`` reshuffles the training sample order per reader
+        instantiation (the reference trains on the one fixed order baked
+        into train_cap.npy; pass a per-epoch seed for true reshuffling)."""
         if self._hdf5 is None:
             self.init_hdf5()
 
@@ -98,13 +103,14 @@ class DataReader:
             def h5_read(name: str) -> np.ndarray:
                 return self._hdf5.read(name).astype(np.float32)
 
-        return self._get_reader(h5_read, batch_size, mode)
+        return self._get_reader(h5_read, batch_size, mode, shuffle_seed)
 
     def _get_reader(
         self,
         processor: Callable[[str], np.ndarray],
         batch_size: Optional[int] = None,
         mode: str = "train",
+        shuffle_seed: Optional[int] = None,
     ) -> Callable[[], Iterator]:
         if mode not in ("train", "dev", "test"):
             raise ValueError(f"DataReader does not support mode {mode!r}")
@@ -114,6 +120,9 @@ class DataReader:
             captions, _max_len = np.load(
                 os.path.join(dict_path, "train_cap.npy"), allow_pickle=True
             )
+            if shuffle_seed is not None:
+                order = np.random.RandomState(shuffle_seed).permutation(len(captions))
+                captions = [captions[i] for i in order]
 
             def reader() -> Iterator[Sample]:
                 for name, cap in captions:

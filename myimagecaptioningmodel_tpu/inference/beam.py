@@ -50,10 +50,13 @@ def beam_search_ids(
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (ids [B, max_length] of the best beam, scores [B])."""
+    from myimagecaptioningmodel_tpu.models.decoder import _dense_in_dim
+
     B = pre.global_feat.shape[0]
     W = beam_size
-    H = params["p_hid"]["w"].shape[0]
-    V = params["embedding"]["table"].shape[0]
+    H = _dense_in_dim(params["p_hid"])
+    emb = params["embedding"]
+    V = (emb["table_q"] if "table_q" in emb else emb["table"]).shape[0]
 
     pre_t = Precomputed(*(_tile_beams(t, W) for t in pre))
 

@@ -134,19 +134,40 @@ def precompute(
     img_v = jnp.tanh(L.dense(params["img_v"], p_img_feat, dt)).astype(dt)
     img_k = L.dense(params["img_k"], p_img_feat, dt).astype(dt)
 
-    E = params["embedding"]["table"].shape[1]
+    emb = params["embedding"]
+    E = (emb["table_q"] if "table_q" in emb else emb["table"]).shape[1]
     g = global_feat.astype(dt)
     # lstm["w"] rows: [0:E) word emb | [E:E+H) global feat | [E+H:) h_prev
-    H = params["gate_h"]["w"].shape[0]
-    lstm_gx = jnp.matmul(
-        g, params["lstm"]["w"][E : E + H].astype(dt),
-        preferred_element_type=jnp.float32,
-    )
-    gate_gx = jnp.matmul(
-        g, params["gate_x"]["w"][E : E + H].astype(dt),
-        preferred_element_type=jnp.float32,
-    )
+    H = _dense_in_dim(params["gate_h"])
+    # the gx terms are emitted in REAL units (quantization scales applied
+    # here, once) — the per-step row-split matmuls add their scale before
+    # summing with these
+    lstm_gx = _row_matmul(params["lstm"], g, E, E + H, dt, scaled=True)
+    gate_gx = _row_matmul(params["gate_x"], g, E, E + H, dt, scaled=True)
     return Precomputed(img_v, img_k, global_feat, lstm_gx, gate_gx)
+
+
+def _dense_in_dim(p: Params) -> int:
+    return (p["w_q"] if "w_q" in p else p["w"]).shape[0]
+
+
+def _row_matmul(p, x, lo, hi, dt, scaled: bool):
+    """x @ W[lo:hi] for a possibly int8-quantized [I,O] weight.
+
+    With ``scaled=False`` the per-output-channel scale is NOT applied (the
+    caller sums several row-splits of the same weight first — the scale
+    commutes with row slicing); the raw product must then be multiplied by
+    ``_out_scale(p)``.
+    """
+    w = p["w_q"] if "w_q" in p else p["w"]
+    y = jnp.matmul(x.astype(dt), w[lo:hi].astype(dt))
+    if scaled and "w_q" in p:
+        y = y.astype(jnp.float32) * p["scale"]
+    return y.astype(jnp.float32) if scaled else y
+
+
+def _out_scale(p):
+    return p["scale"] if "w_q" in p else None
 
 
 def step_core(
@@ -170,20 +191,26 @@ def step_core(
     # the weight matrix are touched per step.
     # per-step dots stay in compute dtype (bf16 backward too); the cast to
     # f32 happens once, so the cell-state arithmetic is full precision
-    lw = params["lstm"]["w"]
-    gates = (
-        jnp.matmul(word_emb.astype(dt), lw[:E].astype(dt))
-        + jnp.matmul(h_prev.astype(dt), lw[E + H :].astype(dt))
-    ).astype(jnp.float32) + pre.lstm_gx + params["lstm"]["b"]
+    lp = params["lstm"]
+    raw = _row_matmul(lp, word_emb, 0, E, dt, scaled=False) + _row_matmul(
+        lp, h_prev, E + H, None, dt, scaled=False
+    )
+    s = _out_scale(lp)
+    raw = raw.astype(jnp.float32) * s if s is not None else raw.astype(jnp.float32)
+    gates = raw + pre.lstm_gx + lp["b"]
     h, c = lstm_from_gates(gates, c_prev)
 
     # visual sentinel from the PREVIOUS hidden state (reference :89-92);
     # gate_x's global-feat part is precomputed (pre.gate_gx)
-    gw = params["gate_x"]["w"]
+    gp = params["gate_x"]
+    raw_g = _row_matmul(gp, word_emb, 0, E, dt, scaled=False).astype(jnp.float32)
+    sg = _out_scale(gp)
+    if sg is not None:
+        raw_g = raw_g * sg
     gate = jax.nn.sigmoid(
-        jnp.matmul(word_emb.astype(dt), gw[:E].astype(dt)).astype(jnp.float32)
+        raw_g
         + pre.gate_gx
-        + params["gate_x"]["b"]
+        + gp["b"]
         + L.dense(params["gate_h"], h_prev, dt).astype(jnp.float32)
     )
     sentinel = gate * jnp.tanh(c)
@@ -208,14 +235,22 @@ def head_logits(params: Params, proj: jnp.ndarray, compute_dtype=jnp.bfloat16):
     """Tied-embedding vocab head: proj @ E^T + bias -> [B, V] float32.
 
     The dot runs (fwd and bwd) in the compute dtype; the f32 upcast before
-    the bias keeps softmax/logsumexp math in full precision."""
+    the bias keeps softmax/logsumexp math in full precision. Handles the
+    int8-quantized table (per-row scale -> per-logit-column scale)."""
     dt = compute_dtype
-    return (
-        jnp.matmul(
-            proj.astype(dt), params["embedding"]["table"].T.astype(dt)
+    emb = params["embedding"]
+    if "table_q" in emb:
+        logits = (
+            jnp.matmul(proj.astype(dt), emb["table_q"].T.astype(dt)).astype(
+                jnp.float32
+            )
+            * emb["scale"][None, :]
+        )
+    else:
+        logits = jnp.matmul(
+            proj.astype(dt), emb["table"].T.astype(dt)
         ).astype(jnp.float32)
-        + params["out_bias"]
-    )
+    return logits + params["out_bias"]
 
 
 def step(
@@ -257,7 +292,7 @@ def teacher_forcing_logits(
     otherwise), trading cheap recompute FLOPs for HBM traffic.
     """
     B, T = source.shape
-    H = params["p_hid"]["w"].shape[0]
+    H = _dense_in_dim(params["p_hid"])
     dt = compute_dtype
     h0, c0 = _zero_state(B, H)
 
@@ -353,11 +388,11 @@ def greedy_decode_ids(
     kernel (ops/pallas/vocab_head.py) so the [B,V] logits never leave VMEM.
     """
     B = pre.global_feat.shape[0]
-    H = params["p_hid"]["w"].shape[0]
+    H = _dense_in_dim(params["p_hid"])
     h0, c0 = _zero_state(B, H)
     word0 = jnp.full((B,), start_idx, jnp.int32)
 
-    if use_pallas:
+    if use_pallas and "table_q" not in params["embedding"]:
         from myimagecaptioningmodel_tpu.ops.pallas.vocab_head import (
             greedy_vocab_argmax,
         )

@@ -56,7 +56,12 @@ def dense(p: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     state, softmax/logsumexp).
     """
     dt = compute_dtype
-    y = jnp.matmul(x.astype(dt), p["w"].astype(dt))
+    if "w_q" in p:  # int8-quantized weight (ops/quantization.py): the
+        # int8->dt cast fuses into the matmul operand load; the per-output-
+        # channel scale applies after the contraction
+        y = jnp.matmul(x.astype(dt), p["w_q"].astype(dt)) * p["scale"].astype(dt)
+    else:
+        y = jnp.matmul(x.astype(dt), p["w"].astype(dt))
     if "b" in p:
         y = y + p["b"].astype(dt)
     return y
@@ -75,8 +80,13 @@ def init_embedding(key, vocab: int, dim: int, scale: Optional[float] = None) -> 
 
 def embed(p: Params, ids: jnp.ndarray, padding_idx: Optional[int] = 0) -> jnp.ndarray:
     """Gather rows; lookups of ``padding_idx`` return zeros (Paddle
-    ``embedding(padding_idx=...)`` semantics, model_adaAttention_aic.py:28-32)."""
-    out = jnp.take(p["table"], ids, axis=0)
+    ``embedding(padding_idx=...)`` semantics, model_adaAttention_aic.py:28-32).
+    Handles int8-quantized tables (per-row scale)."""
+    if "table_q" in p:
+        out = jnp.take(p["table_q"], ids, axis=0).astype(jnp.float32)
+        out = out * jnp.take(p["scale"], ids, axis=0)[..., None]
+    else:
+        out = jnp.take(p["table"], ids, axis=0)
     if padding_idx is not None:
         out = out * (ids != padding_idx)[..., None].astype(out.dtype)
     return out
