@@ -25,16 +25,24 @@ from myimagecaptioningmodel_tpu.models.captioner import ModelOptions
 from myimagecaptioningmodel_tpu.training import checkpoint as ckpt
 
 
-def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0):
+def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool = False):
     """-> (params, model_state, bundle_cfg, opts, decode_fn).
 
-    ``beam_size`` 0/1 -> greedy; >1 -> beam search (north-star addition)."""
+    ``beam_size`` 0/1 -> greedy; >1 -> beam search (north-star addition).
+    ``quantize`` stores the decoder weights as int8 (per-channel scales,
+    ops/quantization.py): ~4x smaller serving footprint, captions unchanged
+    up to quantization noise."""
     opts = ModelOptions.from_config(cfg)
     like_params, like_state = captioner.init(jax.random.PRNGKey(0), opts)
     directory = os.path.join(cfg.train.checkpoint_path, bundle)
     params, model_state, bundle_cfg = ckpt.load_inference_bundle(
         directory, like_params, like_state
     )
+    if quantize:
+        from myimagecaptioningmodel_tpu.ops.quantization import quantize_decoder
+
+        params = dict(params)
+        params["decoder"] = quantize_decoder(params["decoder"])
     if beam_size and beam_size > 1:
         from myimagecaptioningmodel_tpu.inference.beam import beam_decode
 
@@ -51,13 +59,16 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0):
 
 
 def evaluate(
-    cfg=None, bundle: str = "infer", mode: str = "test", beam_size: int = 0
+    cfg=None, bundle: str = "infer", mode: str = "test", beam_size: int = 0,
+    quantize: bool = False,
 ) -> Dict[str, object]:
-    """-> {'bleu': [b1,b2,b3,b4,mean], 'distinct_sentences': int|None}."""
+    """-> {'bleu': [b1,b2,b3,b4,mean], 'cider': float, 'distinct_sentences': int|None}."""
     from myimagecaptioningmodel_tpu import config as config_mod
 
     cfg = cfg or config_mod.default
-    params, model_state, _bcfg, opts, decode = load_bundle(cfg, bundle, beam_size)
+    params, model_state, _bcfg, opts, decode = load_bundle(
+        cfg, bundle, beam_size, quantize
+    )
 
     dr = DataReader(cfg)
     index_word = dr.index_word

@@ -63,11 +63,12 @@ def caption_directory(
     batch_size: int = 128,
     beam_size: int = 0,
     bundle: str = "infer",
+    quantize: bool = False,
 ) -> List[dict]:
     """-> list of {"image": name, "ids": [...], "caption": str} records."""
     from myimagecaptioningmodel_tpu.data.reader import DataReader
 
-    params, model_state, _bcfg, _opts, decode = load_bundle(cfg, bundle, beam_size)
+    params, model_state, _bcfg, _opts, decode = load_bundle(cfg, bundle, beam_size, quantize)
     index_word = DataReader(cfg).index_word
 
     paths = sorted(
@@ -148,13 +149,15 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--beam", type=int, default=0)
     ap.add_argument("--bundle", default="infer")
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 decoder weights (4x smaller serving footprint)")
     args = ap.parse_args()
     cfg = (
         config_mod.Config.from_json_file(args.config)
         if args.config
         else config_mod.default
     )
-    caption_directory(cfg, args.image_dir, args.out, args.batch, args.beam, args.bundle)
+    caption_directory(cfg, args.image_dir, args.out, args.batch, args.beam, args.bundle, args.quantize)
 
 
 if __name__ == "__main__":

@@ -198,3 +198,9 @@ def test_resume_equivalence(corpus, trained):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(sA), jax.tree_util.tree_leaves(sB)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_evaluate_quantized(trained):
+    cfg, _ = trained
+    result = evaluate_mod.evaluate(cfg, bundle="infer", mode="test", quantize=True)
+    assert len(result["bleu"]) == 5
