@@ -12,7 +12,7 @@ reference hardcoded ``infer_meteor``, which no writer produced
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

@@ -18,7 +18,7 @@ import queue
 import sys
 import threading
 import time
-from typing import Iterator, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ embedding}`` graph ops (SURVEY §2.4). Conventions:
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

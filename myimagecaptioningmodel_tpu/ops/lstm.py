@@ -8,7 +8,7 @@ i, f, g, o) — a single MXU matmul per step over the concatenated
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,7 @@ replica BN stats — documented divergence in favor of correctness.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
