@@ -80,6 +80,11 @@ class TrainConfig:
     max_epoch: int = 10
     log_every_n_step: int = 150
     save_best_bleu_checkpoint: bool = True
+    # rebuild-only: False (reference parity: epoch-granular resume only) or
+    # N = also checkpoint every N training steps; resume then continues
+    # mid-epoch from the exact batch (the reference loses mid-epoch progress,
+    # SURVEY §5.3).
+    checkpoint_every_n_steps: Any = False
 
 
 @dataclass(frozen=True)

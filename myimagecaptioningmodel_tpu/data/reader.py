@@ -84,6 +84,7 @@ class DataReader:
         mode: str = "train",
         keep_float16: bool = False,
         shuffle_seed: Optional[int] = None,
+        skip_samples: int = 0,
     ) -> Callable[[], Iterator[List[Sample]]]:
         """``keep_float16=True`` yields raw float16 shard rows (half the host
         memory traffic); the feeder's native converter produces the float32
@@ -92,7 +93,10 @@ class DataReader:
 
         ``shuffle_seed`` reshuffles the training sample order per reader
         instantiation (the reference trains on the one fixed order baked
-        into train_cap.npy; pass a per-epoch seed for true reshuffling)."""
+        into train_cap.npy; pass a per-epoch seed for true reshuffling).
+
+        ``skip_samples`` drops the first K training samples without touching
+        the image store (mid-epoch resume fast-forward)."""
         if self._hdf5 is None:
             self.init_hdf5()
 
@@ -103,7 +107,7 @@ class DataReader:
             def h5_read(name: str) -> np.ndarray:
                 return self._hdf5.read(name).astype(np.float32)
 
-        return self._get_reader(h5_read, batch_size, mode, shuffle_seed)
+        return self._get_reader(h5_read, batch_size, mode, shuffle_seed, skip_samples)
 
     def _get_reader(
         self,
@@ -111,6 +115,7 @@ class DataReader:
         batch_size: Optional[int] = None,
         mode: str = "train",
         shuffle_seed: Optional[int] = None,
+        skip_samples: int = 0,
     ) -> Callable[[], Iterator]:
         if mode not in ("train", "dev", "test"):
             raise ValueError(f"DataReader does not support mode {mode!r}")
@@ -123,6 +128,8 @@ class DataReader:
             if shuffle_seed is not None:
                 order = np.random.RandomState(shuffle_seed).permutation(len(captions))
                 captions = [captions[i] for i in order]
+            if skip_samples:
+                captions = captions[skip_samples:]
 
             def reader() -> Iterator[Sample]:
                 for name, cap in captions:

@@ -134,11 +134,16 @@ def train(
     cfg=None,
     mesh="auto",
     max_steps_per_epoch: Optional[int] = None,
+    fault_injection_step: Optional[int] = None,
 ) -> dict:
     """Run training to ``max_epoch``; returns a summary dict.
 
     ``mesh='auto'`` builds a data-parallel mesh over all visible devices when
     the batch divides evenly; pass an explicit Mesh, or None for single-device.
+
+    ``fault_injection_step`` (testing, SURVEY §5.3: the reference has no
+    fault injection) raises RuntimeError after that many global steps —
+    used to validate mid-epoch crash-resume equivalence.
     """
     from myimagecaptioningmodel_tpu import config as config_mod
 
@@ -165,6 +170,7 @@ def train(
     step = jnp.zeros((), jnp.int32)
     start_epoch = 1
 
+    resume_skip_batches = 0  # mid-epoch resume fast-forward
     ckpt_dir = os.path.join(cfg.train.checkpoint_path, "checkpoint")
     if ckpt.checkpoint_exists(ckpt_dir):
         params, opt_state, model_state, meta = ckpt.load_checkpoint(
@@ -172,7 +178,12 @@ def train(
         )
         step = jnp.asarray(meta["step"], jnp.int32)
         start_epoch = meta["next_epoch"]
-        logger.log(f"Resumed from {ckpt_dir} at epoch {start_epoch}, step {int(step)}")
+        resume_skip_batches = meta.get("mid_epoch_batches", 0)
+        logger.log(
+            f"Resumed from {ckpt_dir} at epoch {start_epoch}, step {int(step)}"
+            + (f" (mid-epoch, skipping {resume_skip_batches} batches)"
+               if resume_skip_batches else "")
+        )
         # encoder freeze flipped since last run? reload pretrained encoder
         # (reference train.py:103-107)
         if logger.train_encoder != opts.encoder_trainable:
@@ -207,12 +218,18 @@ def train(
         prev_loss = None  # one-step-delayed NaN check
         timer = StepTimer("train_step")
 
+        skip = resume_skip_batches if epoch == start_epoch else 0
+        nsteps = skip  # resumed epochs continue the in-epoch step count
         feeder = PrefetchingFeeder(
-            data_reader.get_reader(batch_size, "train", keep_float16=True),
+            data_reader.get_reader(
+                batch_size, "train", keep_float16=True,
+                skip_samples=skip * batch_size,
+            ),
             capacity=cfg.train.data_loader_capacity,
             drop_remainder=True,
             sharding=batch_sharding,
         )
+        every_n = cfg.train.checkpoint_every_n_steps
         for imgs, caps in feeder:
             with timer:
                 params, opt_state, model_state, step, loss, lr = steps.train_step(
@@ -227,6 +244,22 @@ def train(
                 epoch_loss += lval
             prev_loss = loss
             nsteps += 1
+            if every_n and nsteps % every_n == 0:
+                ckpt.save_checkpoint(
+                    ckpt_dir, params, opt_state, model_state,
+                    {
+                        "next_epoch": epoch,
+                        "step": int(step),
+                        "mid_epoch_batches": nsteps,
+                        "best_bleu": logger.best_bleu,
+                        "best_meteor": logger.best_meteor,
+                        "train_encoder": logger.train_encoder,
+                    },
+                )
+            if fault_injection_step is not None and int(step) >= fault_injection_step:
+                raise RuntimeError(
+                    f"fault injection at global step {int(step)}"
+                )
             if nsteps % cfg.train.log_every_n_step == 0:
                 lval = float(loss)  # sync point, every N steps only
                 logger.log(
