@@ -54,6 +54,10 @@ class ModelOptions(NamedTuple):
     # taps-form depthwise convs (sharding-safe gradients under TP; slower) —
     # flipped automatically by parallel/train_step.py for TP training
     safe_depthwise: bool = False
+    # lax.while_loop greedy decode that exits once all rows emitted <stop>
+    # (identical captions, ~halves average serving latency on trained models)
+    early_stop_decode: bool = False
+    stop_idx: int = 3
 
     @classmethod
     def from_config(cls, cfg) -> "ModelOptions":
@@ -68,6 +72,7 @@ class ModelOptions(NamedTuple):
             parity_mode=md.parity_mode,
             compute_dtype=md.compute_dtype,
             use_pallas=_on_tpu(),
+            stop_idx=cfg.data.stop_idx,
         )
 
     @property
@@ -166,4 +171,6 @@ def greedy_decode(
         opts.padding_idx,
         opts.dtype,
         use_pallas=opts.use_pallas,
+        early_stop=opts.early_stop_decode,
+        stop_idx=opts.stop_idx,
     )

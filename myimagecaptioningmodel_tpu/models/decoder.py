@@ -375,6 +375,8 @@ def greedy_decode_ids(
     padding_idx: int = 0,
     compute_dtype=jnp.bfloat16,
     use_pallas: bool = False,
+    early_stop: bool = False,
+    stop_idx: int = 3,
 ) -> jnp.ndarray:
     """Greedy decode: argmax feedback for ``max_length`` steps -> ids [B,T].
 
@@ -386,6 +388,13 @@ def greedy_decode_ids(
 
     ``use_pallas=True`` runs the tied-vocab head + argmax as one fused Pallas
     kernel (ops/pallas/vocab_head.py) so the [B,V] logits never leave VMEM.
+
+    ``early_stop=True`` swaps the fixed scan for a ``lax.while_loop`` that
+    exits once every row has emitted ``<stop>`` — trained models finish
+    captions well before ``max_length``, so this roughly halves average
+    serving latency. Post-stop positions are ``<pad>`` (the detokenizer
+    truncates at ``<stop>`` either way, so captions are identical to the
+    fixed-length scan's).
     """
     B = pre.global_feat.shape[0]
     H = _dense_in_dim(params["p_hid"])
@@ -407,6 +416,29 @@ def greedy_decode_ids(
         def argmax_head(proj):
             logits = head_logits(params, proj, compute_dtype)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if early_stop:
+        ids0 = jnp.zeros((B, max_length), jnp.int32)
+        done0 = jnp.zeros((B,), bool)
+
+        def w_cond(state):
+            t, _h, _c, _w, _ids, done = state
+            return (t < max_length) & ~jnp.all(done)
+
+        def w_body(state):
+            t, h, c, word, ids, done = state
+            h, c, proj = step_core(
+                params, pre, word, h, c, parity_mode, padding_idx, compute_dtype
+            )
+            next_word = jnp.where(done, padding_idx, argmax_head(proj))
+            ids = jax.lax.dynamic_update_slice(ids, next_word[:, None], (0, t))
+            done = done | (next_word == stop_idx)
+            return t + 1, h, c, next_word, ids, done
+
+        _, _, _, _, ids, _ = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), h0, c0, word0, ids0, done0)
+        )
+        return ids
 
     def body(carry, _):
         h, c, word = carry

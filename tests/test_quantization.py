@@ -120,3 +120,65 @@ def test_quantized_decode_reproduces_memorized_captions():
                                              compute_dtype=F32)
     for a, b in zip(ids_full, np.asarray(ids_beam_q)):
         assert caption(a) == caption(b), (a, b)
+
+
+def test_early_stop_decode_matches_fixed_scan():
+    """while_loop early-exit greedy == fixed-length scan captions (the
+    memorized model emits <stop> before max_length)."""
+    dims = DecoderDims(vocab_size=12, embedding_size=8, hidden_dim=32,
+                       feat_channels=16)
+    params = decoder_mod.init(jax.random.PRNGKey(0), dims)
+    rng = np.random.RandomState(0)
+    p_img_feat = jnp.asarray(rng.randn(2, 4, 32), F32)
+    global_feat = jnp.asarray(rng.randn(2, 32), F32)
+    caps = jnp.asarray([[2, 4, 5, 6, 3, 0], [2, 7, 3, 0, 0, 0]], jnp.int32)
+    source, target = caps[:, :-1], caps[:, 1:]
+    mask = (target != 0).astype(F32)
+    tx = optax.adam(5e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state):
+        def loss_fn(p):
+            pre = decoder_mod.precompute(p, p_img_feat, global_feat, F32)
+            logits = decoder_mod.teacher_forcing_logits(p, pre, source,
+                                                        compute_dtype=F32)
+            logz = jax.nn.logsumexp(logits, -1)
+            gold = jnp.take_along_axis(logits, target[..., None], -1)[..., 0]
+            return jnp.sum((logz - gold) * mask) / jnp.sum(mask)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(300):
+        params, opt_state, loss = train_step(params, opt_state)
+    assert float(loss) < 0.1
+
+    pre = decoder_mod.precompute(params, p_img_feat, global_feat, F32)
+    fixed = np.asarray(
+        decoder_mod.greedy_decode_ids(params, pre, 8, compute_dtype=F32)
+    )
+    early = np.asarray(
+        jax.jit(lambda p, pre: decoder_mod.greedy_decode_ids(
+            p, pre, 8, compute_dtype=F32, early_stop=True
+        ))(params, pre)
+    )
+
+    def caption(row):
+        out = []
+        for tok in row:
+            if tok == 3:
+                break
+            out.append(int(tok))
+        return out
+
+    for a, b in zip(fixed, early):
+        assert caption(a) == caption(b), (a, b)
+    # post-stop positions are <pad> in the early-stop variant
+    for row in early:
+        seen = False
+        for tok in row:
+            if seen:
+                assert tok == 0, row
+            if tok == 3:
+                seen = True
