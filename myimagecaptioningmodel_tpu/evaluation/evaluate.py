@@ -25,14 +25,18 @@ from myimagecaptioningmodel_tpu.models.captioner import ModelOptions
 from myimagecaptioningmodel_tpu.training import checkpoint as ckpt
 
 
-def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool = False):
+def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool = False,
+                early_stop: bool = False):
     """-> (params, model_state, bundle_cfg, opts, decode_fn).
 
     ``beam_size`` 0/1 -> greedy; >1 -> beam search (north-star addition).
     ``quantize`` stores the decoder weights as int8 (per-channel scales,
     ops/quantization.py): ~4x smaller serving footprint, captions unchanged
-    up to quantization noise."""
+    up to quantization noise. ``early_stop`` uses the while_loop greedy
+    decode that exits when every row has emitted <stop>."""
     opts = ModelOptions.from_config(cfg)
+    if early_stop:
+        opts = opts._replace(early_stop_decode=True)
     like_params, like_state = captioner.init(jax.random.PRNGKey(0), opts)
     directory = os.path.join(cfg.train.checkpoint_path, bundle)
     params, model_state, bundle_cfg = ckpt.load_inference_bundle(

@@ -64,11 +64,14 @@ def caption_directory(
     beam_size: int = 0,
     bundle: str = "infer",
     quantize: bool = False,
+    early_stop: bool = True,
 ) -> List[dict]:
     """-> list of {"image": name, "ids": [...], "caption": str} records."""
     from myimagecaptioningmodel_tpu.data.reader import DataReader
 
-    params, model_state, _bcfg, _opts, decode = load_bundle(cfg, bundle, beam_size, quantize)
+    params, model_state, _bcfg, _opts, decode = load_bundle(
+        cfg, bundle, beam_size, quantize, early_stop=early_stop and not beam_size
+    )
     index_word = DataReader(cfg).index_word
 
     paths = sorted(
