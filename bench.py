@@ -96,6 +96,25 @@ def main() -> None:
     log(f"greedy decode, sustained: {captions_per_sec:.1f} captions/s "
         f"({dt / ITERS * 1000:.1f} ms / batch of {BATCH})")
 
+    # diagnostic: single-image greedy latency (BASELINE config #1 shape)
+    try:
+        img1 = images[:1]
+        dec1 = jax.jit(lambda p, s, x: captioner.greedy_decode(p, s, x, opts))
+        jax.block_until_ready(dec1(params, state, img1))
+        for _ in range(3):
+            jax.block_until_ready(dec1(params, state, img1))
+        t0 = time.time()
+        n1 = 20
+        for _ in range(n1):
+            jax.block_until_ready(dec1(params, state, img1))
+        log(
+            f"single-image greedy latency: {(time.time() - t0) / n1 * 1000:.2f} ms "
+            "(synchronous round-trips; dominated by the dev tunnel's RPC RTT "
+            "on this setup — on-device cost is a few ms)"
+        )
+    except Exception as e:
+        log(f"single-image diagnostic failed: {type(e).__name__}: {e}")
+
     # diagnostic: train-step throughput (stderr only)
     try:
         import optax
