@@ -26,14 +26,16 @@ from myimagecaptioningmodel_tpu.training import checkpoint as ckpt
 
 
 def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool = False,
-                early_stop: bool = False):
+                early_stop: bool = False, mesh=None):
     """-> (params, model_state, bundle_cfg, opts, decode_fn).
 
     ``beam_size`` 0/1 -> greedy; >1 -> beam search (north-star addition).
     ``quantize`` stores the decoder weights as int8 (per-channel scales,
     ops/quantization.py): ~4x smaller serving footprint, captions unchanged
     up to quantization noise. ``early_stop`` uses the while_loop greedy
-    decode that exits when every row has emitted <stop>."""
+    decode that exits when every row has emitted <stop>. With a ``mesh``
+    (SURVEY config #5: multi-chip evaluation), the batch shards over the
+    ``data`` axis and params replicate — GSPMD splits the decode."""
     opts = ModelOptions.from_config(cfg)
     if early_stop:
         opts = opts._replace(early_stop_decode=True)
@@ -50,28 +52,48 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
     if beam_size and beam_size > 1:
         from myimagecaptioningmodel_tpu.inference.beam import beam_decode
 
+        decode_fn = lambda p, s, imgs: beam_decode(
+            p, s, imgs, opts, beam_size, stop_idx=cfg.data.stop_idx
+        )[0]
+    else:
+        decode_fn = lambda p, s, imgs: captioner.greedy_decode(p, s, imgs, opts)
+
+    if mesh is not None:
+        from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
+
+        repl = mesh_mod.replicated(mesh)
+        batch = mesh_mod.batch_sharding(mesh)
         decode = jax.jit(
-            lambda p, s, imgs: beam_decode(
-                p, s, imgs, opts, beam_size, stop_idx=cfg.data.stop_idx
-            )[0]
+            decode_fn, in_shardings=(repl, repl, batch), out_shardings=batch
         )
     else:
-        decode = jax.jit(
-            lambda p, s, imgs: captioner.greedy_decode(p, s, imgs, opts)
-        )
+        decode = jax.jit(decode_fn)
     return params, model_state, bundle_cfg, opts, decode
 
 
 def evaluate(
     cfg=None, bundle: str = "infer", mode: str = "test", beam_size: int = 0,
-    quantize: bool = False,
+    quantize: bool = False, mesh=None,
 ) -> Dict[str, object]:
-    """-> {'bleu': [b1,b2,b3,b4,mean], 'cider': float, 'distinct_sentences': int|None}."""
+    """-> {'bleu': [b1,b2,b3,b4,mean], 'cider': float, 'distinct_sentences': int|None}.
+
+    ``mesh``: a ``jax.sharding.Mesh`` for multi-chip evaluation (the batch
+    shards over the data axis), or "auto" to build one when the batch
+    divides the visible devices."""
     from myimagecaptioningmodel_tpu import config as config_mod
 
     cfg = cfg or config_mod.default
+    if mesh == "auto":
+        from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
+
+        n = len(jax.devices())
+        mesh = (
+            mesh_mod.make_mesh()
+            if n > 1 and cfg.train.batch_size % n == 0
+            else None
+        )
     params, model_state, _bcfg, opts, decode = load_bundle(
-        cfg, bundle, beam_size, quantize
+        cfg, bundle, beam_size, quantize, mesh=mesh
     )
 
     dr = DataReader(cfg)

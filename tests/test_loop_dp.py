@@ -80,3 +80,11 @@ def test_train_loop_on_8_device_mesh(tmp_path):
     # 'auto' should pick the same mesh (batch 8 % 8 devices == 0) and resume cleanly
     result2 = loop.train(cfg, mesh="auto")
     assert result2["final_step"] == result["final_step"]  # max_epoch reached: no new steps
+
+    # multi-chip evaluation (SURVEY config #5): batch sharded over the mesh
+    from myimagecaptioningmodel_tpu.evaluation import evaluate as evaluate_mod
+
+    res_dp = evaluate_mod.evaluate(cfg, bundle="infer", mode="test", mesh=mesh)
+    res_1d = evaluate_mod.evaluate(cfg, bundle="infer", mode="test")
+    assert res_dp["bleu"] == pytest.approx(res_1d["bleu"], abs=1e-6)
+    assert res_dp["cider"] == pytest.approx(res_1d["cider"], abs=1e-6)
