@@ -85,6 +85,11 @@ class TrainConfig:
     # mid-epoch from the exact batch (the reference loses mid-epoch progress,
     # SURVEY §5.3).
     checkpoint_every_n_steps: Any = False
+    # rebuild-only: reshuffle the training order each epoch with a
+    # deterministic per-epoch seed (the reference trains on the one fixed
+    # order baked into train_cap.npy; deterministic seeding keeps mid-epoch
+    # resume exact).
+    shuffle_each_epoch: bool = False
 
 
 @dataclass(frozen=True)

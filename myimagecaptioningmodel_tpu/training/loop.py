@@ -220,9 +220,15 @@ def train(
 
         skip = resume_skip_batches if epoch == start_epoch else 0
         nsteps = skip  # resumed epochs continue the in-epoch step count
+        shuffle_seed = (
+            (cfg.train.seed or 0) * 100003 + epoch
+            if cfg.train.shuffle_each_epoch
+            else None
+        )
         feeder = PrefetchingFeeder(
             data_reader.get_reader(
                 batch_size, "train", keep_float16=True,
+                shuffle_seed=shuffle_seed,
                 skip_samples=skip * batch_size,
             ),
             capacity=cfg.train.data_loader_capacity,
