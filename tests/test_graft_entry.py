@@ -1,0 +1,65 @@
+"""Driver-contract tests for __graft_entry__ (the artifacts the driver runs).
+
+The round-1 MULTICHIP check failed because dryrun_multichip asserted on the
+host's device count instead of bootstrapping a virtual mesh; these tests pin
+both the in-process path (conftest gives us 8 CPU devices) and the
+self-bootstrap path (a 1-device subprocess must still succeed).
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def test_entry_compiles():
+    import jax
+
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    loss = jax.jit(fn)(*args)
+    assert float(loss) > 0
+
+
+def test_dryrun_multichip_in_process():
+    # conftest exposes 8 virtual CPU devices -> direct path
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_bootstraps_from_one_device(tmp_path):
+    # Simulate the driver's 1-chip bench host: a subprocess with a single CPU
+    # device calls dryrun_multichip(4) and must self-bootstrap a 4-device
+    # virtual mesh in a nested subprocess.
+    script = tmp_path / "driver.py"
+    script.write_text(
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(4)\n"
+    )
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("PALLAS_AXON", "AXON", "TPU", "LIBTPU"))
+        and k != "XLA_FLAGS"  # drop conftest's 8-device forcing
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:]
+    assert "dryrun_multichip(4): ok" in proc.stdout
