@@ -171,31 +171,29 @@ class Config:
 
     @classmethod
     def from_dict(cls, raw: Dict[str, Any]) -> "Config":
+        import typing
+
         def build(dc_cls, val):
             if val is None:
                 return dc_cls()
+            # Resolve string annotations (PEP 563: `from __future__ import
+            # annotations` makes f.type a string) to real classes so nested
+            # dataclasses of ANY name deserialize recursively.
+            hints = typing.get_type_hints(dc_cls)
             kwargs = {}
             for f in dataclasses.fields(dc_cls):
                 if f.name not in val:
                     continue
                 v = val[f.name]
-                if dataclasses.is_dataclass(f.type) or f.name in ("encoder", "decoder"):
-                    sub = {"encoder": EncoderConfig, "decoder": DecoderConfig}.get(f.name)
-                    if sub is not None:
-                        v = build(sub, v)
+                ftype = hints.get(f.name, f.type)
+                if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+                    v = build(ftype, v)
                 elif isinstance(v, list):
                     v = tuple(v)
                 kwargs[f.name] = v
             return dc_cls(**kwargs)
 
-        return cls(
-            build_dataset=build(BuildDatasetConfig, raw.get("build_dataset")),
-            data=build(DataConfig, raw.get("data")),
-            train=build(TrainConfig, raw.get("train")),
-            model=build(ModelConfig, raw.get("model")),
-            log=build(LogConfig, raw.get("log")),
-            evaluate=build(EvaluateConfig, raw.get("evaluate")),
-        )
+        return build(cls, raw)
 
     @classmethod
     def from_json(cls, text: str) -> "Config":

@@ -54,8 +54,14 @@ class Hdf5Manager:
 
         # shard order: directories in the given order, shards sorted by
         # index within each directory (a directory may hold either a single
-        # ``name.hdf5`` or a ``name.hdf5_K`` split set)
+        # ``name.hdf5`` or a ``name.hdf5_K`` split set).
+        # DIVERGENCE from reference hdf5_manager.py:46-49, which sorts all
+        # shards *globally* by index, interleaving directories whose shard
+        # indices overlap — under which a name2idx built against one ordering
+        # silently maps names to wrong rows under the other. We keep
+        # per-directory ordering (see PARITY.md) and warn on overlap.
         shards: List[str] = []
+        indices_by_dir: List[set] = []
         for dirpath in paths:
             files = os.listdir(dirpath)
             matched = [n for n in files if _SPLIT_FILE_PATTERN.match(n)]
@@ -70,6 +76,26 @@ class Hdf5Manager:
                 key=lambda n: int((_DB_INDEX_FILTER.findall(n) or [-1])[0])
             )
             shards.extend(os.path.join(dirpath, n) for n in matched)
+            indices_by_dir.append(
+                {int(i) for n in matched for i in _DB_INDEX_FILTER.findall(n)}
+            )
+        for i, a in enumerate(indices_by_dir):
+            for b in indices_by_dir[i + 1:]:
+                if a & b:
+                    import warnings
+
+                    warnings.warn(
+                        "multiple directories contain overlapping .hdf5_K "
+                        "shard indices; row order here is per-directory, but "
+                        "the reference interleaves by global index — a legacy "
+                        "name2idx built by the reference may map names to "
+                        "wrong rows",
+                        stacklevel=2,
+                    )
+                    break
+            else:
+                continue
+            break
 
         total = 0
         for path in shards:

@@ -73,18 +73,33 @@ def param_shardings(mesh: Mesh, params):
 
 
 def opt_state_shardings(mesh: Mesh, opt_state, params, p_shardings):
-    """Match optimizer-state leaves that mirror param shapes to the param
-    shardings (Adam's m/v mirror params); everything else replicated."""
+    """Match optimizer-state leaves that mirror the param pytree (Adam's m/v)
+    to the param shardings by TREE PATH, not by shape: optax moment states
+    embed the param tree verbatim, so an opt-state leaf whose key path ends
+    with a param's full key path is that param's moment. Shape-based matching
+    would silently missharding any future param that happens to share
+    shape/dtype with a TP-sharded tensor. Non-mirroring leaves (step counts
+    etc.) are replicated."""
     repl = NamedSharding(mesh, P())
-    flat_params, _ = jax.tree_util.tree_flatten(params)
-    flat_shard, _ = jax.tree_util.tree_flatten(p_shardings)
-    by_shape = {}
-    for p, s in zip(flat_params, flat_shard):
-        by_shape.setdefault((p.shape, p.dtype), s)
+    flat = jax.tree_util.tree_flatten_with_path(p_shardings)[0]
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    by_suffix = {}
+    for (path, s), (_, p) in zip(flat, flat_p):
+        by_suffix[jax.tree_util.keystr(path)] = (s, p.shape, p.dtype)
 
-    def pick(leaf):
-        if hasattr(leaf, "shape"):
-            return by_shape.get((leaf.shape, leaf.dtype), repl)
-        return repl
+    def pick(path, leaf):
+        if not hasattr(leaf, "shape"):
+            return repl
+        ks = jax.tree_util.keystr(path)
+        best = None
+        for suffix, (s, shape, dtype) in by_suffix.items():
+            if ks.endswith(suffix) and (best is None or len(suffix) > len(best[0])):
+                best = (suffix, s, shape)
+        if best is None:
+            return repl
+        _, s, shape = best
+        if tuple(leaf.shape) != tuple(shape):  # mirrors structure, not shape
+            return repl
+        return s
 
-    return jax.tree_util.tree_map(pick, opt_state)
+    return jax.tree_util.tree_map_with_path(pick, opt_state)

@@ -220,6 +220,7 @@ def train(
 
         skip = resume_skip_batches if epoch == start_epoch else 0
         nsteps = skip  # resumed epochs continue the in-epoch step count
+        executed = 0  # steps actually run this process (mean-loss denominator)
         shuffle_seed = (
             (cfg.train.seed or 0) * 100003 + epoch
             if cfg.train.shuffle_each_epoch
@@ -250,7 +251,17 @@ def train(
                 epoch_loss += lval
             prev_loss = loss
             nsteps += 1
+            executed += 1
             if every_n and nsteps % every_n == 0:
+                # Sync and validate THIS step's loss before overwriting the
+                # only rolling checkpoint: otherwise a NaN on a checkpoint
+                # step would atomically replace the last good state with
+                # poisoned params and resume would restart from them.
+                lval = float(loss)
+                if np.isnan(lval):
+                    raise FloatingPointError(
+                        f"Epoch:{epoch} Step:{nsteps} loss is NaN"
+                    )
                 ckpt.save_checkpoint(
                     ckpt_dir, params, opt_state, model_state,
                     {
@@ -269,7 +280,7 @@ def train(
             if nsteps % cfg.train.log_every_n_step == 0:
                 lval = float(loss)  # sync point, every N steps only
                 logger.log(
-                    f"    Step {nsteps} Mean loss: {epoch_loss / max(nsteps - 1, 1):6f} "
+                    f"    Step {nsteps} Mean loss: {epoch_loss / max(executed - 1, 1):6f} "
                     f"Step loss: {lval:6f}, lr: {float(lr)}"
                 )
             if max_steps_per_epoch and nsteps >= max_steps_per_epoch:
@@ -279,7 +290,7 @@ def train(
             if np.isnan(lval):
                 raise FloatingPointError(f"Epoch:{epoch} Step:{nsteps} loss is NaN")
             epoch_loss += lval
-        mean_loss = epoch_loss / max(nsteps, 1)
+        mean_loss = epoch_loss / max(executed, 1)
         logger.log(f"Epoch loss: {mean_loss:7f}")
         logger.log_scalars("epoch_loss", epoch=epoch, loss=mean_loss, steps=nsteps)
         logger.log_scalars("step_times", epoch=epoch, **timer.summary())

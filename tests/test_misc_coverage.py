@@ -35,6 +35,26 @@ def test_config_json_roundtrip(tmp_path):
     assert cfg2.dc is cfg2.data and cfg2.md is cfg2.model
 
 
+def test_from_dict_resolves_new_nested_dataclasses():
+    # Regression: nested handling used to special-case ("encoder","decoder")
+    # because PEP-563 string annotations defeat dataclasses.is_dataclass on
+    # f.type; any NEW nested dataclass must deserialize without edits.
+    import dataclasses
+
+    @dataclasses.dataclass(frozen=True)
+    class Inner:
+        x: int = 1
+
+    @dataclasses.dataclass(frozen=True)
+    class Outer:
+        inner: Inner = dataclasses.field(default_factory=Inner)
+        y: int = 2
+
+    # reuse Config.from_dict's generic builder on a synthetic root
+    out = config_mod.Config.from_dict.__func__(Outer, {"inner": {"x": 7}})
+    assert out.inner.x == 7 and out.y == 2
+
+
 def test_replace_nested():
     cfg = config_mod.Config()
     cfg2 = config_mod.replace_nested(cfg, "model.decoder.hidden_dim", 64)
