@@ -13,9 +13,16 @@ def main() -> None:
     ap.add_argument("--bundle", default="infer", help="inference bundle name")
     ap.add_argument("--beam", type=int, default=0, help="beam size (0/1 = greedy)")
     ap.add_argument("--quantize", action="store_true", help="int8 decoder weights")
+    ap.add_argument(
+        "--early-stop", action="store_true",
+        help="greedy decode exits once every row emitted <stop> (same captions)",
+    )
     args = ap.parse_args()
     cfg = config_mod.Config.from_json_file(args.config) if args.config else config_mod.default
-    evaluate_mod.evaluate(cfg, bundle=args.bundle, beam_size=args.beam, quantize=args.quantize)
+    evaluate_mod.evaluate(
+        cfg, bundle=args.bundle, beam_size=args.beam, quantize=args.quantize,
+        early_stop=args.early_stop,
+    )
 
 
 if __name__ == "__main__":

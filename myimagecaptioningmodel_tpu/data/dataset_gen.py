@@ -19,7 +19,24 @@ from typing import Dict, List
 
 from myimagecaptioningmodel_tpu.data import hdf5 as hdf5_mod
 from myimagecaptioningmodel_tpu.data import tokenizer as tokenizer_mod
-from myimagecaptioningmodel_tpu.data.segmenter import get_segmenter
+from myimagecaptioningmodel_tpu.data.segmenter import get_segmenter, segmenter_version
+
+
+def update_dataset_meta(out_dir: str, **fields) -> Dict[str, object]:
+    """Merge ``fields`` into ``<out_dir>/dataset_meta.json`` (provenance:
+    which segmenter/version produced the vocab, plus tokenize stats — vocab
+    ids silently depend on the segmenter, so the artifact set must say which
+    one built it)."""
+    path = os.path.join(out_dir, "dataset_meta.json")
+    meta: Dict[str, object] = {}
+    if os.path.exists(path):
+        with open(path, "r", encoding="utf-8") as f:
+            meta = json.load(f)
+    meta.update(fields)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(meta, f, ensure_ascii=False, indent=1)
+    return meta
 
 
 def _temp_path(cfg) -> str:
@@ -63,6 +80,11 @@ def word_seg(cfg=None, segmenter: str = "auto") -> Dict[str, object]:
     with open(os.path.join(temp, "token.list"), "w", encoding="utf-8") as f:
         f.writelines(name + "\n" for name in used_files)
 
+    update_dataset_meta(
+        cfg.build_dataset.output_path,
+        segmenter=seg_name,
+        segmenter_version=segmenter_version(seg_name),
+    )
     return {"segmenter": seg_name, "images": len(used_files)}
 
 

@@ -76,6 +76,19 @@ class DataReader:
             self._load_vocab()
         return self._index2word
 
+    @property
+    def dataset_meta(self) -> Dict[str, object]:
+        """Provenance written by the dataset build (dataset_meta.json next to
+        word_dict.npy): which segmenter/version produced the vocab, plus
+        tokenize stats. Empty dict for artifact sets predating the file."""
+        import json
+
+        path = os.path.join(self.cfg.data.dict_path, "dataset_meta.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path, "r", encoding="utf-8") as f:
+            return json.load(f)
+
     # ---- readers -------------------------------------------------------------
 
     def get_reader(

@@ -6,9 +6,11 @@ always installable, so segmentation is a small strategy interface:
 - 'jieba'    — a widely available fallback;
 - 'space'    — whitespace split (for pre-segmented corpora and tests).
 
-Segmenter choice affects vocabulary ids, so it is recorded by the dataset
-build; BLEU comparisons are only meaningful within one segmenter's output
-(SURVEY §7 "hard parts": pin the segmenter, snapshot golden vocab stats).
+Segmenter choice affects vocabulary ids, so the dataset build records
+``{segmenter, version}`` into ``dataset_meta.json`` next to ``word_dict.npy``
+(data/dataset_gen.py:word_seg); BLEU comparisons are only meaningful within
+one segmenter's output (SURVEY §7 "hard parts": pin the segmenter, snapshot
+golden vocab stats — see tests/test_tokenizer.py golden-stats scaffold).
 """
 
 from __future__ import annotations
@@ -16,6 +18,23 @@ from __future__ import annotations
 from typing import Callable, List
 
 SegmentFn = Callable[[str], List[str]]
+
+
+def segmenter_version(name: str) -> str:
+    """Installed version of the segmenter package ('-' for 'space')."""
+    if name == "space":
+        return "-"
+    try:
+        from importlib.metadata import version
+
+        return version(name)
+    except Exception:
+        try:
+            import importlib
+
+            return getattr(importlib.import_module(name), "__version__", "unknown")
+        except Exception:
+            return "unknown"
 
 
 def get_segmenter(name: str = "auto") -> tuple[str, SegmentFn]:

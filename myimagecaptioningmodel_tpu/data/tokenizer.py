@@ -52,13 +52,18 @@ def build_dict(
     train_div: Sequence[str] | None = None,
     max_keep: int = 15000,
     minimum_occur: int = MINIMUM_OCCUR,
-) -> Tuple[Dict[str, int], Dict[int, str]]:
+    return_stats: bool = False,
+):
     """Build word->id / id->word from the token file, training split only.
 
     Ordering matches the reference exactly: words sorted by descending count
     (Python's stable sort preserves first-seen order among ties, like the
     reference's ``sorted(word_cnt.items(), ...)`` over insertion-ordered
     dicts), truncated at ``max_keep`` and ``minimum_occur``.
+
+    ``return_stats`` additionally returns ``{"unk_word_types": N}`` — the
+    number of distinct word types mapped to <unk> (the reference printed
+    8,160 for AI_Challenger under pkuseg, ai_challenge_tokenizer.py:131).
     """
     train_set = set(train_div) if train_div is not None else None
     word_cnt: Dict[str, int] = {}
@@ -77,6 +82,8 @@ def build_dict(
     vocab = SPECIALS + kept
     idx_word = {i: w for i, w in enumerate(vocab)}
     word_idx = {w: i for i, w in enumerate(vocab)}
+    if return_stats:
+        return word_idx, idx_word, {"unk_word_types": len(word_cnt) - len(kept)}
     return word_idx, idx_word
 
 
@@ -160,8 +167,8 @@ def main(cfg=None) -> Dict[str, object]:
         load_division(os.path.join(temp, n))
         for n in ("train.txt", "dev.txt", "test.txt")
     )
-    word_idx, idx_word = build_dict(
-        token_path, train, max_keep=cfg.build_dataset.max_keep
+    word_idx, idx_word, dict_stats = build_dict(
+        token_path, train, max_keep=cfg.build_dataset.max_keep, return_stats=True
     )
     np.save(
         os.path.join(out_dir, "word_dict.npy"),
@@ -196,10 +203,18 @@ def main(cfg=None) -> Dict[str, object]:
     with open(os.path.join(out_dir, "idx2word.json"), "w", encoding="utf-8") as f:
         json.dump(idx_word, f, ensure_ascii=False)
 
-    return {
+    summary = {
         "train_size": len(train_db),
         "vocab_size": len(word_idx),
+        "unk_word_types": dict_stats["unk_word_types"],
         "max_len": max_len,
         "start": word_idx["<start>"],
         "stop": word_idx["<stop>"],
     }
+    # provenance + golden-stat snapshot next to word_dict.npy (the reference
+    # printed these, ai_challenge_tokenizer.py:130-131; persisted here so a
+    # dataset artifact set is self-describing)
+    from myimagecaptioningmodel_tpu.data.dataset_gen import update_dataset_meta
+
+    update_dataset_meta(out_dir, **summary)
+    return summary

@@ -73,13 +73,15 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
 
 def evaluate(
     cfg=None, bundle: str = "infer", mode: str = "test", beam_size: int = 0,
-    quantize: bool = False, mesh=None,
+    quantize: bool = False, mesh=None, early_stop: bool = False,
 ) -> Dict[str, object]:
     """-> {'bleu': [b1,b2,b3,b4,mean], 'cider': float, 'distinct_sentences': int|None}.
 
     ``mesh``: a ``jax.sharding.Mesh`` for multi-chip evaluation (the batch
     shards over the data axis), or "auto" to build one when the batch
-    divides the visible devices."""
+    divides the visible devices. ``early_stop``: greedy decode exits once
+    every row has emitted <stop> (identical captions, ~2x average latency
+    win on real captions shorter than infer_max_length)."""
     from myimagecaptioningmodel_tpu import config as config_mod
 
     cfg = cfg or config_mod.default
@@ -93,7 +95,7 @@ def evaluate(
             else None
         )
     params, model_state, _bcfg, opts, decode = load_bundle(
-        cfg, bundle, beam_size, quantize, mesh=mesh
+        cfg, bundle, beam_size, quantize, early_stop=early_stop, mesh=mesh
     )
 
     dr = DataReader(cfg)

@@ -35,10 +35,11 @@ def fetch_image(url_or_path: str) -> Image.Image:
 
 def caption_image(
     cfg, img: Image.Image, bundle: str = "infer", beam_size: int = 0,
-    quantize: bool = False,
+    quantize: bool = False, early_stop: bool = False,
 ) -> Tuple[List[int], str]:
     """-> (raw id list, detokenized sentence). ``beam_size>1`` = beam search;
-    ``quantize`` = int8 decoder weights."""
+    ``quantize`` = int8 decoder weights; ``early_stop`` = while_loop greedy
+    decode that exits at all-<stop> (same caption, lower latency)."""
     arr = image_mod.process_image(
         img, cfg.data.image_shape, cfg.data.image_mean, cfg.data.image_std
     )
@@ -46,7 +47,9 @@ def caption_image(
         raise ValueError("image is not a 3-channel RGB image")
     batch = image_mod.chw_to_nhwc(arr[None])
 
-    params, model_state, _bcfg, _opts, decode = load_bundle(cfg, bundle, beam_size, quantize)
+    params, model_state, _bcfg, _opts, decode = load_bundle(
+        cfg, bundle, beam_size, quantize, early_stop=early_stop
+    )
 
     from myimagecaptioningmodel_tpu.data.reader import DataReader
 
@@ -58,12 +61,16 @@ def caption_image(
     return ids, metrics.words2sentence(words)
 
 
-def main(url: str, cfg=None, beam_size: int = 0, quantize: bool = False) -> str:
+def main(
+    url: str, cfg=None, beam_size: int = 0, quantize: bool = False,
+    early_stop: bool = False,
+) -> str:
     from myimagecaptioningmodel_tpu import config as config_mod
 
     cfg = cfg or config_mod.default
     ids, sentence = caption_image(
-        cfg, fetch_image(url), beam_size=beam_size, quantize=quantize
+        cfg, fetch_image(url), beam_size=beam_size, quantize=quantize,
+        early_stop=early_stop,
     )
     print(ids)
     print(sentence)

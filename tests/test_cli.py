@@ -123,3 +123,30 @@ def test_infer_cli_local_path(corpus_cfg):
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [l for l in r.stdout.strip().split("\n") if l]
     assert lines[-2].startswith("[")  # raw id list (reference contract)
+
+
+def test_evaluate_cli_early_stop_identical_bleu(corpus_cfg):
+    """--early-stop must produce byte-identical metrics (same captions,
+    the while_loop decode only exits earlier)."""
+    root, _img, cfg_path, _r = corpus_cfg
+    r1 = run_cli(["evaluate.py", "--config", cfg_path])
+    r2 = run_cli(["evaluate.py", "--config", cfg_path, "--early-stop"])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    metric_lines = lambda out: [
+        l for l in out.strip().split("\n")
+        if l.startswith(("BLEU", "CIDEr", "distinct"))
+    ]
+    assert metric_lines(r1.stdout) == metric_lines(r2.stdout)
+
+
+def test_infer_cli_early_stop_identical_caption(corpus_cfg):
+    # raw ids may differ AFTER <stop> (the fixed scan keeps decoding, the
+    # while_loop pads) — the detokenized caption must be identical
+    root, img_dir, cfg_path, _r = corpus_cfg
+    img = str(img_dir / "img_1.jpg")
+    r1 = run_cli(["infer.py", img, "--config", cfg_path])
+    r2 = run_cli(["infer.py", img, "--config", cfg_path, "--early-stop"])
+    assert r1.returncode == 0 and r2.returncode == 0
+    sentence = lambda out: out.strip().split("\n")[-1]
+    assert sentence(r1.stdout) == sentence(r2.stdout)
