@@ -345,10 +345,18 @@ def teacher_forcing_logits(
             jnp.sum(pre.img_v, axis=1).astype(jnp.float32)[None] + sentinel
         ) / k1
     else:
-        # additive attention, all steps at once: z over [T,B,k,H] stays a
-        # fused tanh+dot epilogue; only [T,B,k] scores materialize
-        z_img = jnp.tanh(pre.img_k[None].astype(dt) + hid_emb[:, :, None, :])
-        e_img = L.dense(params["attention"]["score"], z_img, dt)[..., 0]
+        # additive attention, all steps at once. The [T,B,k,H] tanh tensor
+        # (~437 MB at batch 128) fuses into the score reduction in the
+        # forward, but autodiff would SAVE it as the tanh residual;
+        # jax.checkpoint recomputes it in the backward from the [B,k,H] +
+        # [T,B,H] inputs instead — ~870 MB of HBM traffic avoided per step.
+        def _attn_scores(score_p, img_k, h_emb):
+            z_img = jnp.tanh(img_k[None].astype(dt) + h_emb[:, :, None, :])
+            return L.dense(score_p, z_img, dt)[..., 0]
+
+        e_img = jax.checkpoint(_attn_scores)(
+            params["attention"]["score"], pre.img_k, hid_emb
+        )
         z_sent = jnp.tanh(sent_key + hid_emb)
         e_sent = L.dense(params["attention"]["score"], z_sent, dt)
         e = jnp.concatenate([e_img, e_sent], axis=-1).astype(jnp.float32)
@@ -400,6 +408,39 @@ def greedy_decode_ids(
     H = _dense_in_dim(params["p_hid"])
     h0, c0 = _zero_state(B, H)
     word0 = jnp.full((B,), start_idx, jnp.int32)
+
+    # fully-fused step: the whole per-step body (gates + sentinel + attention
+    # + out/proj + tied-vocab argmax) as ONE Pallas kernel with VMEM-resident
+    # weights (ops/pallas/fused_step.py). The unfused scan body is ~25 small
+    # fusions at ~54 us/step on v5e — launch-bound, not bandwidth-bound.
+    use_fused = (
+        use_pallas
+        and not early_stop
+        and not parity_mode
+        and "table_q" not in params["embedding"]
+        and B >= 8
+        and B % 8 == 0
+    )
+    if use_fused:
+        from myimagecaptioningmodel_tpu.ops.pallas import fused_step as FS
+
+        fp = FS.prepare(params, pre, padding_idx, compute_dtype)
+        img_k = pre.img_k.astype(compute_dtype)
+        img_v = pre.img_v.astype(compute_dtype)
+
+        def fused_body(carry, _):
+            h, c, word = carry
+            word_emb = jnp.take(fp.emb_table, word, axis=0)
+            h, c, _proj, next_word = FS.fused_decode_step(
+                fp, word_emb, h, c, img_k, img_v,
+                with_head=True, compute_dtype=compute_dtype,
+            )
+            return (h, c, next_word), next_word
+
+        _, ids_tm = jax.lax.scan(
+            fused_body, (h0, c0, word0), None, length=max_length
+        )
+        return jnp.transpose(ids_tm, (1, 0))
 
     if use_pallas and "table_q" not in params["embedding"]:
         from myimagecaptioningmodel_tpu.ops.pallas.vocab_head import (

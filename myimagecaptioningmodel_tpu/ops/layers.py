@@ -185,6 +185,55 @@ BN_MOMENTUM = 0.9  # Paddle batch_norm default
 BN_EPS = 1e-5
 
 
+@jax.custom_vjp
+def _bn_train(scale, offset, x):
+    """Train-mode BN core -> (y, batch_mean, batch_var).
+
+    Hand-written VJP: autodiff of the mean/var formulation emits 3-4 separate
+    reduction fusions per layer, each re-reading the full activation — the
+    profiled cost was 12.2 ms/step (40% of the batch-128 train step) across
+    MobileNetV2's 53 BN layers. The custom backward does the textbook BN
+    gradient in exactly two fused passes over (x, dy):
+        pass 1: doffset = Σdy, dscale = Σdy·x̂        (one fused dual reduction)
+        pass 2: dx = scale·inv/N · (N·dy - doffset - x̂·dscale)
+    """
+    y, mean, var, _inv = _bn_train_fwd_math(scale, offset, x)
+    return y, mean, var
+
+
+def _bn_train_fwd_math(scale, offset, x):
+    x32 = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    # one-pass stats: mean and E[x^2] fuse into a single activation read
+    mean = jnp.mean(x32, axes)
+    mean_sq = jnp.mean(jnp.square(x32), axes)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = ((x32 - mean) * (inv * scale) + offset).astype(x.dtype)
+    return y, mean, var, inv
+
+
+def _bn_train_fwd(scale, offset, x):
+    y, mean, var, inv = _bn_train_fwd_math(scale, offset, x)
+    return (y, mean, var), (scale, x, mean, inv)
+
+
+def _bn_train_bwd(res, cts):
+    scale, x, mean, inv = res
+    dy, _dmean, _dvar = cts  # moving-stat outputs carry no loss cotangent
+    axes = tuple(range(x.ndim - 1))
+    n = x.size // x.shape[-1]
+    dy32 = dy.astype(jnp.float32)
+    xhat = (x.astype(jnp.float32) - mean) * inv
+    doffset = jnp.sum(dy32, axes)
+    dscale = jnp.sum(dy32 * xhat, axes)
+    dx = (scale * inv / n) * (n * dy32 - doffset - xhat * dscale)
+    return dscale, doffset, dx.astype(x.dtype)
+
+
+_bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
 def init_batch_norm(num_ch: int) -> Tuple[Params, Params]:
     """Returns (params, state): learnable scale/offset + moving stats."""
     params = {
@@ -212,21 +261,17 @@ def batch_norm(
     functional replacement for Paddle's moving_mean/variance variables
     (MobileNetV2.py:112-117, SURVEY §2.4).
     """
-    x32 = x.astype(jnp.float32)
-    axes = tuple(range(x.ndim - 1))
     if train:
-        mean = jnp.mean(x32, axes)
-        var = jnp.var(x32, axes)
+        y, mean, var = _bn_train(p["scale"], p["offset"], x)
         new_s = {
             "mean": BN_MOMENTUM * s["mean"] + (1.0 - BN_MOMENTUM) * mean,
             "var": BN_MOMENTUM * s["var"] + (1.0 - BN_MOMENTUM) * var,
         }
-    else:
-        mean, var = s["mean"], s["var"]
-        new_s = s
+        return y, new_s
+    mean, var = s["mean"], s["var"]
     inv = jax.lax.rsqrt(var + BN_EPS) * p["scale"]
-    y = (x32 - mean) * inv + p["offset"]
-    return y.astype(x.dtype), new_s
+    y = (x.astype(jnp.float32) - mean) * inv + p["offset"]
+    return y.astype(x.dtype), s
 
 
 def relu6(x: jnp.ndarray) -> jnp.ndarray:

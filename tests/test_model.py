@@ -276,3 +276,51 @@ def test_greedy_decode_full_model(tiny_model):
     # deterministic across calls
     ids2 = captioner.greedy_decode(params, state, images, opts)
     np.testing.assert_array_equal(_np(ids), _np(ids2))
+
+
+def test_bn_custom_vjp_matches_autodiff():
+    """The hand-written BN backward (2 fused passes) must match autodiff of
+    the plain mean/var formulation to f32 precision."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from myimagecaptioningmodel_tpu.ops import layers as L
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 5, 5, 8) * 2.0 + 0.5, jnp.float32)
+    scale = jnp.asarray(rng.rand(8) + 0.5, jnp.float32)
+    offset = jnp.asarray(rng.randn(8), jnp.float32)
+
+    def ref(scale, offset, x):
+        x32 = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x32, axes)
+        var = jnp.var(x32, axes)
+        inv = jax.lax.rsqrt(var + L.BN_EPS)
+        return (x32 - mean) * (inv * scale) + offset
+
+    def loss_ref(s, o, x):
+        y = ref(s, o, x)
+        return jnp.sum(jnp.sin(y))  # nontrivial downstream cotangent
+
+    def loss_new(s, o, x):
+        y, _m, _v = L._bn_train(s, o, x)
+        return jnp.sum(jnp.sin(y))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(scale, offset, x)
+    g_new = jax.grad(loss_new, argnums=(0, 1, 2))(scale, offset, x)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+    # value + batch stats parity
+    y_ref = ref(scale, offset, x)
+    y_new, m, v = L._bn_train(scale, offset, x)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_new), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(jnp.mean(x, (0, 1, 2))), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(jnp.var(x, (0, 1, 2))), rtol=1e-4, atol=1e-5)
+
+    # bf16 input path: cotangent dtype matches primal
+    xb = x.astype(jnp.bfloat16)
+    g = jax.grad(lambda x: jnp.sum(L._bn_train(scale, offset, x)[0].astype(jnp.float32)))(xb)
+    assert g.dtype == jnp.bfloat16
