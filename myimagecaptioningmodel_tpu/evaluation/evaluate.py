@@ -36,11 +36,23 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
     decode that exits when every row has emitted <stop>. With a ``mesh``
     (SURVEY config #5: multi-chip evaluation), the batch shards over the
     ``data`` axis and params replicate — GSPMD splits the decode."""
-    opts = ModelOptions.from_config(cfg)
+    # Model options come from the bundle's OWN recorded config (the bundle is
+    # a self-contained artifact — its dims/parity/dtype must not silently
+    # change under a caller cfg; e.g. imported reference checkpoints pin
+    # parity_mode on, compat/paddle_import.py). Paths/batching stay caller's.
+    directory = os.path.join(cfg.train.checkpoint_path, bundle)
+    from myimagecaptioningmodel_tpu.config import Config
+
+    bundle_cfg_path = os.path.join(directory, "config.json")
+    opts_cfg = (
+        Config.from_json_file(bundle_cfg_path)
+        if os.path.exists(bundle_cfg_path)
+        else cfg
+    )
+    opts = ModelOptions.from_config(opts_cfg)
     if early_stop:
         opts = opts._replace(early_stop_decode=True)
     like_params, like_state = captioner.init(jax.random.PRNGKey(0), opts)
-    directory = os.path.join(cfg.train.checkpoint_path, bundle)
     params, model_state, bundle_cfg = ckpt.load_inference_bundle(
         directory, like_params, like_state
     )

@@ -48,8 +48,18 @@ def beam_search_ids(
     length_norm: float = 0.0,
     parity_mode: bool = False,
     compute_dtype=jnp.bfloat16,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (ids [B, max_length] of the best beam, scores [B])."""
+    """-> (ids [B, max_length] of the best beam, scores [B]).
+
+    ``use_pallas=True`` replaces the [B*W, V] logits + full-vocab
+    ``log_softmax`` + ``top_k`` tail of each step with the fused
+    ``topk_vocab_head`` kernel: per-beam top-W candidates + logsumexp come
+    straight out of VMEM, and the cross-beam selection runs on the tiny
+    [B, W*W] candidate matrix. Exact w.r.t. the XLA path: for a fixed beam
+    only its best W words can win a next-beam slot. Handles int8 tables.
+    """
     from myimagecaptioningmodel_tpu.models.decoder import _dense_in_dim
 
     B = pre.global_feat.shape[0]
@@ -57,6 +67,25 @@ def beam_search_ids(
     H = _dense_in_dim(params["p_hid"])
     emb = params["embedding"]
     V = (emb["table_q"] if "table_q" in emb else emb["table"]).shape[0]
+    use_fused_head = (
+        use_pallas and W > 1 and (B * W) % 8 == 0 and not parity_mode
+    )
+    if use_fused_head:
+        from myimagecaptioningmodel_tpu.ops.pallas.vocab_head import (
+            topk_vocab_head,
+        )
+
+        dt = jnp.dtype(compute_dtype)
+        if "table_q" in emb:  # int8 streams 1 byte/elem through the head
+            head_table, head_scale = emb["table_q"], emb["scale"]
+        else:
+            head_table, head_scale = emb["table"].astype(dt), None
+
+        def fused_topk(proj):
+            return topk_vocab_head(
+                proj, head_table, params["out_bias"], k=W,
+                scale=head_scale, interpret=interpret,
+            )
 
     pre_t = Precomputed(*(_tile_beams(t, W) for t in pre))
 
@@ -72,22 +101,52 @@ def beam_search_ids(
 
     batch_offsets = (jnp.arange(B) * W)[:, None]  # [B,1] row base into [B*W]
 
+    if use_fused_head:
+        # the step body itself also runs as the fused Pallas kernel (weights
+        # VMEM-resident; int8 params dequantized once at prepare)
+        from myimagecaptioningmodel_tpu.ops.pallas import fused_step as FS
+
+        fp = FS.prepare(params, pre_t, padding_idx, compute_dtype)
+        img_k_t = pre_t.img_k.astype(compute_dtype)
+        img_v_t = pre_t.img_v.astype(compute_dtype)
+
     def body(carry, _):
         h, c, word, scores, finished, lengths = carry
-        h, c, logits = decoder_mod.step(
-            params, pre_t, word, h, c, parity_mode, padding_idx, compute_dtype
-        )
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*W, V]
-        logp = logp.reshape(B, W, V)
+        if use_fused_head:
+            word_emb = jnp.take(fp.emb_table, word, axis=0)
+            h, c, proj, _w = FS.fused_decode_step(
+                fp, word_emb, h, c, img_k_t, img_v_t,
+                with_head=False, compute_dtype=compute_dtype,
+                interpret=interpret,
+            )
+            vals, cand_ids, lse = fused_topk(proj)  # [B*W,W] x2, [B*W]
+            logp = (vals - lse[:, None]).reshape(B, W, W)
+            cand_ids = cand_ids.reshape(B, W, W)
+            # finished beams: single <pad> candidate at zero cost
+            pad_row = jnp.full((W,), NEG_INF).at[0].set(0.0)
+            logp = jnp.where(finished[..., None], pad_row[None, None, :], logp)
+            cand_ids = jnp.where(finished[..., None], padding_idx, cand_ids)
+            cand = scores[..., None] + logp  # [B, W, W]
+            top_scores, top_flat = jax.lax.top_k(cand.reshape(B, W * W), W)
+            src_beam = top_flat // W
+            new_word = jnp.take_along_axis(
+                cand_ids.reshape(B, W * W), top_flat, axis=1
+            ).astype(jnp.int32)
+        else:
+            h, c, logits = decoder_mod.step(
+                params, pre_t, word, h, c, parity_mode, padding_idx, compute_dtype
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            logp = logp.reshape(B, W, V)
 
-        # finished beams may only emit <pad> at zero cost
-        pad_only = jnp.full((V,), NEG_INF).at[padding_idx].set(0.0)
-        logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+            # finished beams may only emit <pad> at zero cost
+            pad_only = jnp.full((V,), NEG_INF).at[padding_idx].set(0.0)
+            logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
 
-        cand = scores[..., None] + logp  # [B, W, V]
-        top_scores, top_flat = jax.lax.top_k(cand.reshape(B, W * V), W)  # [B, W]
-        src_beam = top_flat // V  # [B, W] which beam each winner came from
-        new_word = (top_flat % V).astype(jnp.int32)
+            cand = scores[..., None] + logp  # [B, W, V]
+            top_scores, top_flat = jax.lax.top_k(cand.reshape(B, W * V), W)
+            src_beam = top_flat // V  # [B, W] which beam each winner came from
+            new_word = (top_flat % V).astype(jnp.int32)
 
         gather = (batch_offsets + src_beam).reshape(-1)  # [B*W] rows into h/c
         new_h = h[gather]
@@ -156,4 +215,5 @@ def beam_decode(params, state, images, opts, beam_size: int = 4,
         length_norm,
         opts.parity_mode,
         opts.dtype,
+        use_pallas=opts.use_pallas,
     )

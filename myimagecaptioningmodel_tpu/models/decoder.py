@@ -413,11 +413,11 @@ def greedy_decode_ids(
     # + out/proj + tied-vocab argmax) as ONE Pallas kernel with VMEM-resident
     # weights (ops/pallas/fused_step.py). The unfused scan body is ~25 small
     # fusions at ~54 us/step on v5e — launch-bound, not bandwidth-bound.
+    # int8 params are dequantized once at prepare() (weights stay in VMEM
+    # across all steps, so per-step HBM streaming — int8's win — is moot).
     use_fused = (
         use_pallas
-        and not early_stop
         and not parity_mode
-        and "table_q" not in params["embedding"]
         and B >= 8
         and B % 8 == 0
     )
@@ -428,13 +428,40 @@ def greedy_decode_ids(
         img_k = pre.img_k.astype(compute_dtype)
         img_v = pre.img_v.astype(compute_dtype)
 
-        def fused_body(carry, _):
-            h, c, word = carry
+        def fused_step_fn(h, c, word):
             word_emb = jnp.take(fp.emb_table, word, axis=0)
             h, c, _proj, next_word = FS.fused_decode_step(
                 fp, word_emb, h, c, img_k, img_v,
                 with_head=True, compute_dtype=compute_dtype,
             )
+            return h, c, next_word
+
+        if early_stop:
+            ids0 = jnp.zeros((B, max_length), jnp.int32)
+            done0 = jnp.zeros((B,), bool)
+
+            def f_cond(state):
+                t, _h, _c, _w, _ids, done = state
+                return (t < max_length) & ~jnp.all(done)
+
+            def f_body(state):
+                t, h, c, word, ids, done = state
+                h, c, next_word = fused_step_fn(h, c, word)
+                next_word = jnp.where(done, padding_idx, next_word)
+                ids = jax.lax.dynamic_update_slice(
+                    ids, next_word[:, None], (0, t)
+                )
+                done = done | (next_word == stop_idx)
+                return t + 1, h, c, next_word, ids, done
+
+            _, _, _, _, ids, _ = jax.lax.while_loop(
+                f_cond, f_body, (jnp.int32(0), h0, c0, word0, ids0, done0)
+            )
+            return ids
+
+        def fused_body(carry, _):
+            h, c, word = carry
+            h, c, next_word = fused_step_fn(h, c, word)
             return (h, c, next_word), next_word
 
         _, ids_tm = jax.lax.scan(
@@ -442,15 +469,23 @@ def greedy_decode_ids(
         )
         return jnp.transpose(ids_tm, (1, 0))
 
-    if use_pallas and "table_q" not in params["embedding"]:
+    if use_pallas:
         from myimagecaptioningmodel_tpu.ops.pallas.vocab_head import (
             greedy_vocab_argmax,
         )
 
-        def argmax_head(proj):
-            return greedy_vocab_argmax(
-                proj, params["embedding"]["table"], params["out_bias"]
-            )
+        emb = params["embedding"]
+        if "table_q" in emb:  # int8 table: 1 byte/elem streamed, scale fused
+
+            def argmax_head(proj):
+                return greedy_vocab_argmax(
+                    proj, emb["table_q"], params["out_bias"], scale=emb["scale"]
+                )
+
+        else:
+
+            def argmax_head(proj):
+                return greedy_vocab_argmax(proj, emb["table"], params["out_bias"])
 
     else:
 

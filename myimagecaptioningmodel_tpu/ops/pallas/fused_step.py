@@ -71,16 +71,27 @@ class FusedStepParams(NamedTuple):
 
 
 def prepare(params: Dict[str, Any], pre, padding_idx: int, dt) -> FusedStepParams:
-    """Slice/concat the decoder params into the kernel's fused layout."""
-    lw = params["lstm"]["w"]
-    gw = params["gate_x"]["w"]
-    E = params["out_proj"]["w"].shape[1]
-    H = params["p_hid"]["w"].shape[0]
-    table = params["embedding"]["table"]
+    """Slice/concat the decoder params into the kernel's fused layout.
+
+    int8-quantized params (ops/quantization.py) are dequantized here: the
+    kernel holds every weight VMEM-resident across the whole decode scan, so
+    the quantized artifact costs one prep-time dequant and then decodes at
+    full fused speed (weights never re-stream from HBM per step)."""
+    from myimagecaptioningmodel_tpu.ops.quantization import (
+        dense_weight,
+        embedding_table,
+    )
+
+    lw = dense_weight(params["lstm"])
+    gw = dense_weight(params["gate_x"])
+    w_proj = dense_weight(params["out_proj"])
+    E = w_proj.shape[1]
+    H = dense_weight(params["p_hid"]).shape[0]
+    table = embedding_table(params["embedding"])
     emb_table = table.at[padding_idx].set(0.0)  # embed(padding_idx) == 0
     w_word_cat = jnp.concatenate([lw[:E], gw[:E]], axis=1).astype(dt)
     w_hh_cat = jnp.concatenate(
-        [lw[E + H :], params["gate_h"]["w"]], axis=1
+        [lw[E + H :], dense_weight(params["gate_h"])], axis=1
     ).astype(dt)
     gxb = jnp.concatenate(
         [
@@ -94,15 +105,15 @@ def prepare(params: Dict[str, Any], pre, padding_idx: int, dt) -> FusedStepParam
         w_word_cat=w_word_cat,
         w_hh_cat=w_hh_cat,
         gxb=gxb,
-        w_p=params["p_hid"]["w"].astype(dt),
+        w_p=dense_weight(params["p_hid"]).astype(dt),
         b_p=params["p_hid"]["b"].astype(jnp.float32),
-        w_he=params["hid_emb"]["w"].astype(dt),
+        w_he=dense_weight(params["hid_emb"]).astype(dt),
         b_he=params["hid_emb"]["b"].astype(jnp.float32),
-        w_se=params["sent_emb"]["w"].astype(dt),
+        w_se=dense_weight(params["sent_emb"]).astype(dt),
         b_se=params["sent_emb"]["b"].astype(jnp.float32),
-        w_out=params["out"]["w"].astype(dt),
+        w_out=dense_weight(params["out"]).astype(dt),
         b_out=params["out"]["b"].astype(jnp.float32),
-        w_proj=params["out_proj"]["w"].astype(dt),
+        w_proj=w_proj.astype(dt),
         b_proj=params["out_proj"]["b"].astype(jnp.float32),
         w_score=params["attention"]["score"]["w"].T.astype(dt),  # [1, H]
         b_score=params["attention"]["score"]["b"].astype(jnp.float32),

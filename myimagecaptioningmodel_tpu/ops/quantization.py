@@ -76,3 +76,21 @@ def quantize_decoder(decoder_params: Dict[str, Any]) -> Dict[str, Any]:
 
 def is_quantized(p: Dict[str, Any]) -> bool:
     return "w_q" in p or "table_q" in p
+
+
+def dense_weight(p: Dict[str, Any]) -> jnp.ndarray:
+    """Full-precision [I, O] view of a dense weight (dequantized if int8).
+
+    Used by the fused decode-step kernel's ``prepare``: the kernel keeps all
+    weights VMEM-resident across the 35-step scan, so an int8 artifact costs
+    one dequant at prep time and then decodes at full fused speed."""
+    if "w_q" in p:
+        return p["w_q"].astype(jnp.float32) * p["scale"][None, :]
+    return p["w"]
+
+
+def embedding_table(p: Dict[str, Any]) -> jnp.ndarray:
+    """Full-precision [V, E] view of the tied embedding (dequantized)."""
+    if "table_q" in p:
+        return p["table_q"].astype(jnp.float32) * p["scale"][:, None]
+    return p["table"]

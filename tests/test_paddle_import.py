@@ -290,6 +290,49 @@ def test_import_into_padded_vocab(imported):
     assert (bias[V:] <= -1e8).all()
 
 
+def test_bundle_config_pins_model_options(imported, tmp_path):
+    """A bundle exported with parity_mode/custom dims must decode with ITS
+    recorded model options even when the caller's cfg says otherwise
+    (regression: imported reference checkpoints pin parity_mode on)."""
+    import dataclasses
+
+    from myimagecaptioningmodel_tpu import config as config_mod
+    from myimagecaptioningmodel_tpu.evaluation.evaluate import load_bundle
+    from myimagecaptioningmodel_tpu.training import checkpoint as ckpt
+
+    opts, params, state, _, _ = imported
+    bundle_cfg = config_mod.Config()
+    bundle_cfg = dataclasses.replace(
+        bundle_cfg,
+        model=dataclasses.replace(
+            bundle_cfg.model,
+            parity_mode=True,
+            compute_dtype="float32",
+            decoder=dataclasses.replace(
+                bundle_cfg.model.decoder,
+                vocab_size=V, embedding_size=E, hidden_dim=H,
+                sentence_length=STEPS, infer_max_length=STEPS,
+            ),
+        ),
+    )
+    ckpt.export_inference_bundle(str(tmp_path / "infer"), params, state, bundle_cfg)
+
+    caller_cfg = dataclasses.replace(
+        config_mod.Config(),
+        train=dataclasses.replace(
+            config_mod.Config().train, checkpoint_path=str(tmp_path)
+        ),
+    )  # caller cfg says full dims + parity off — the bundle must win
+    p2, s2, _bcfg, opts2, decode = load_bundle(caller_cfg, "infer")
+    assert opts2.parity_mode is True
+    assert opts2.dims.vocab_size == V and opts2.dims.hidden_dim == H
+    rng = np.random.RandomState(4)
+    images = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    ids = np.asarray(decode(p2, s2, images))
+    ref = np.asarray(captioner.greedy_decode(params, state, images, opts))
+    np.testing.assert_array_equal(ids, ref)
+
+
 def test_strict_rejects_unknown(imported, tmp_path):
     opts, _, _, variables, _ = imported
     d = str(tmp_path / "bad")
