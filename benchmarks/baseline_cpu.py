@@ -28,10 +28,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # single-device CPU, before jax import (sitecustomize may pre-register TPU)
-for k in list(os.environ):
-    if k.startswith(("PALLAS_AXON", "AXON", "TPU", "LIBTPU")):
-        del os.environ[k]
-os.environ["JAX_PLATFORMS"] = "cpu"
+from myimagecaptioningmodel_tpu.utils.env import force_cpu_inprocess  # noqa: E402
+
+force_cpu_inprocess()
 
 import numpy as np  # noqa: E402
 

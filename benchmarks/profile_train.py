@@ -150,15 +150,23 @@ def main():
             ca = ca[0]
         flops = ca.get("flops", float("nan"))
         bytes_ = ca.get("bytes accessed", float("nan"))
-        rows.append(("XLA est. TFLOP / step", flops / 1e12))
-        rows.append(("XLA est. GB touched / step", bytes_ / 1e9))
+        cost_rows = [
+            ("XLA est. TFLOP / step", flops / 1e12),
+            ("XLA est. GB touched / step", bytes_ / 1e9),
+        ]
     except Exception as e:
+        cost_rows = []
         print(f"cost analysis failed: {e}", file=sys.stderr)
 
     print("| segment | ms/step (batch 128) |")
     print("|---|---|")
     for name, ms in rows:
         print(f"| {name} | {ms:.2f} |")
+    if cost_rows:
+        print("\n| cost estimate | value |")
+        print("|---|---|")
+        for name, v in cost_rows:
+            print(f"| {name} | {v:.2f} |")
     full_ms = rows[0][1]
     print(f"\nimages/s: {BATCH / full_ms * 1000:.0f}")
 

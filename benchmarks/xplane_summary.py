@@ -32,11 +32,18 @@ def summarize(path: str, top_n: int = 30):
         count_by_op = collections.Counter()
         total_ps = 0
         span_lo, span_hi = None, 0
-        for line in plane.lines:
-            # XLA Op lines carry per-HLO events; 'Steps' and framework lines
-            # would double-count, so keep only op-level lines.
-            if line.name not in ("XLA Ops", "XLA TraceMe", "Ops") and not line.name.startswith("XLA Op"):
-                continue
+        op_lines = [
+            line
+            for line in plane.lines
+            if line.name in ("XLA Ops", "Ops") or line.name.startswith("XLA Op")
+        ]
+        if not op_lines:
+            # no per-HLO op line on this plane: fall back to annotation-level
+            # events rather than reporting nothing
+            op_lines = [l for l in plane.lines if l.name == "XLA TraceMe"]
+        for line in op_lines:
+            # keep ONLY op-level lines: 'Steps'/'XLA TraceMe' annotations
+            # overlap the op intervals and would double-count device time
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, "?")
                 dur_by_op[name] += ev.duration_ps

@@ -186,7 +186,10 @@ class Config:
                     continue
                 v = val[f.name]
                 ftype = hints.get(f.name, f.type)
-                if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+                if dataclasses.is_dataclass(ftype) and (
+                    isinstance(v, dict) or v is None
+                ):
+                    # an explicit null section means "all defaults"
                     v = build(ftype, v)
                 elif isinstance(v, list):
                     v = tuple(v)

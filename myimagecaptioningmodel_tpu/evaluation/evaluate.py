@@ -51,7 +51,16 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
     )
     opts = ModelOptions.from_config(opts_cfg)
     if early_stop:
-        opts = opts._replace(early_stop_decode=True)
+        if beam_size and beam_size > 1:
+            import warnings
+
+            warnings.warn(
+                "early_stop applies to greedy decode only; beam search "
+                "always runs the fixed-length scan — ignoring early_stop",
+                stacklevel=2,
+            )
+        else:
+            opts = opts._replace(early_stop_decode=True)
     like_params, like_state = captioner.init(jax.random.PRNGKey(0), opts)
     params, model_state, bundle_cfg = ckpt.load_inference_bundle(
         directory, like_params, like_state
@@ -65,7 +74,7 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
         from myimagecaptioningmodel_tpu.inference.beam import beam_decode
 
         decode_fn = lambda p, s, imgs: beam_decode(
-            p, s, imgs, opts, beam_size, stop_idx=cfg.data.stop_idx
+            p, s, imgs, opts, beam_size, stop_idx=opts.stop_idx
         )[0]
     else:
         decode_fn = lambda p, s, imgs: captioner.greedy_decode(p, s, imgs, opts)
@@ -73,6 +82,12 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
     if mesh is not None:
         from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
 
+        # Pallas kernels are not annotated for the SPMD partitioner; under a
+        # sharded jit they would at best replicate (all-gathering the batch).
+        # Multi-chip decode therefore uses the XLA path — per-chip batches
+        # still saturate the chips; the fused kernels are the single-chip
+        # serving path.
+        opts = opts._replace(use_pallas=False)
         repl = mesh_mod.replicated(mesh)
         batch = mesh_mod.batch_sharding(mesh)
         decode = jax.jit(

@@ -207,6 +207,10 @@ def _kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(col < vocab, logits, float("-inf"))
         word_out_ref[:] = jnp.argmax(logits, axis=1)[:, None].astype(jnp.int32)
+    else:
+        # keep the documented contract (zeros, matching reference_step) —
+        # an unwritten output ref would be uninitialized VMEM
+        word_out_ref[:] = jnp.zeros(word_out_ref.shape, jnp.int32)
 
 
 @functools.partial(

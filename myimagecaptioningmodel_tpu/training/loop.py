@@ -45,6 +45,17 @@ from myimagecaptioningmodel_tpu.training.logger import Logger
 from myimagecaptioningmodel_tpu.utils.profiling import StepTimer
 
 
+@jax.jit
+def _all_finite(tree) -> jnp.ndarray:
+    """Single-dispatch finiteness check over every float leaf of a pytree."""
+    leaves = [
+        jnp.all(jnp.isfinite(leaf))
+        for leaf in jax.tree_util.tree_leaves(tree)
+        if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+    ]
+    return jnp.all(jnp.stack(leaves)) if leaves else jnp.asarray(True)
+
+
 def _dev_eval(decode_fn, params, model_state, reader_gen, index_word, batch_size,
               stop_idx, padding_idx):
     """Per-epoch dev greedy decode + BLEU + distinct sentences
@@ -253,14 +264,18 @@ def train(
             nsteps += 1
             executed += 1
             if every_n and nsteps % every_n == 0:
-                # Sync and validate THIS step's loss before overwriting the
-                # only rolling checkpoint: otherwise a NaN on a checkpoint
-                # step would atomically replace the last good state with
-                # poisoned params and resume would restart from them.
+                # Validate the EXACT state being saved before overwriting the
+                # only rolling checkpoint. The loss alone is not enough: it
+                # is computed from the step's *incoming* params, so a finite
+                # loss can coexist with a NaN/Inf *post-update* params tree
+                # (NaN gradients, optimizer overflow) — checkpointing that
+                # would atomically replace the last good state with poisoned
+                # params and resume would restart from them.
                 lval = float(loss)
-                if np.isnan(lval):
+                if np.isnan(lval) or not bool(_all_finite(params)):
                     raise FloatingPointError(
-                        f"Epoch:{epoch} Step:{nsteps} loss is NaN"
+                        f"Epoch:{epoch} Step:{nsteps} loss or updated params "
+                        "are NaN/Inf; refusing to overwrite the checkpoint"
                     )
                 ckpt.save_checkpoint(
                     ckpt_dir, params, opt_state, model_state,

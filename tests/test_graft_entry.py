@@ -45,13 +45,10 @@ def test_dryrun_multichip_bootstraps_from_one_device(tmp_path):
         "import __graft_entry__\n"
         "__graft_entry__.dryrun_multichip(4)\n"
     )
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if not k.startswith(("PALLAS_AXON", "AXON", "TPU", "LIBTPU"))
-        and k != "XLA_FLAGS"  # drop conftest's 8-device forcing
-    }
-    env["JAX_PLATFORMS"] = "cpu"
+    from myimagecaptioningmodel_tpu.utils.env import cpu_subprocess_env
+
+    env = cpu_subprocess_env()  # strips conftest's 8-device XLA_FLAGS too
+    env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
         [sys.executable, str(script)],

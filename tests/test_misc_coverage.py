@@ -55,6 +55,14 @@ def test_from_dict_resolves_new_nested_dataclasses():
     assert out.inner.x == 7 and out.y == 2
 
 
+def test_from_dict_null_section_means_defaults():
+    # Regression: an explicit null section ('{"data": null}') must yield the
+    # section's defaults, not a None field that crashes on first access.
+    cfg = config_mod.Config.from_json('{"data": null, "train": {"seed": 3}}')
+    assert cfg.data == config_mod.DataConfig()
+    assert cfg.train.seed == 3
+
+
 def test_replace_nested():
     cfg = config_mod.Config()
     cfg2 = config_mod.replace_nested(cfg, "model.decoder.hidden_dim", 64)
