@@ -125,6 +125,32 @@ def test_infer_cli_local_path(corpus_cfg):
     assert lines[-2].startswith("[")  # raw id list (reference contract)
 
 
+def test_dataset_gen_cli(corpus_cfg, tmp_path):
+    """Root dataset_gen.py (reference `python ./preprocess/dataset_gen.py`)
+    builds all artifacts from a config file."""
+    root, img_dir, cfg_path, _r = corpus_cfg
+    cfg = json.loads(open(cfg_path).read())
+    out = tmp_path / "ds2"
+    cfg["build_dataset"]["output_path"] = str(out)
+    cfg["build_dataset"]["h5_name2idx"] = str(out / "name2idx.json")
+    cfg["data"]["dict_path"] = str(out)
+    cfg["data"]["h5_path"] = [str(out)]
+    cfg2 = tmp_path / "cfg2.json"
+    cfg2.write_text(json.dumps(cfg))
+    r = run_cli(
+        ["dataset_gen.py", "--config", str(cfg2), "--segmenter", "space",
+         "--split-seed", "0"]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for artifact in (
+        "name2idx.json", "word_dict.npy", "train_cap.npy", "dev_data.npy",
+        "eval_data.npy", "word2idx.json", "idx2word.json", "dataset_meta.json",
+    ):
+        assert (out / artifact).exists(), artifact
+    meta = json.loads((out / "dataset_meta.json").read_text())
+    assert meta["segmenter"] == "space"
+
+
 def test_evaluate_cli_early_stop_identical_bleu(corpus_cfg):
     """--early-stop must produce byte-identical metrics (same captions,
     the while_loop decode only exits earlier)."""
