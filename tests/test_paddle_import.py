@@ -341,3 +341,59 @@ def test_strict_rejects_unknown(imported, tmp_path):
     paddle_fmt.write_persistables_dir(d, bad)
     with pytest.raises(ValueError, match="strict"):
         paddle_import.import_persistables(d, opts, strict=True)
+
+
+def test_import_cli_subprocess(imported, tmp_path):
+    """`python -m myimagecaptioningmodel_tpu.compat.paddle_import` converts a
+    persistables dir to a bundle that the standard serving path loads."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from myimagecaptioningmodel_tpu.utils.env import cpu_subprocess_env
+
+    _, _, _, variables, _ = imported
+    d = str(tmp_path / "persistables")
+    paddle_fmt.write_persistables_dir(d, variables)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model": {
+            "decoder": {
+                "vocab_size": V, "embedding_size": E, "hidden_dim": H,
+                "sentence_length": STEPS, "infer_max_length": STEPS,
+                "vocab_pad_multiple": 1,
+            },
+            "compute_dtype": "float32",
+        },
+    }))
+    out = str(tmp_path / "ckpt" / "infer")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = cpu_subprocess_env()
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "myimagecaptioningmodel_tpu.compat.paddle_import",
+         d, out, "--config", str(cfg_path), "--strict"],
+        env=env, capture_output=True, text=True, timeout=420, cwd=repo,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "0 unknown, 0 missing" in r.stdout
+
+    import dataclasses
+
+    from myimagecaptioningmodel_tpu import config as config_mod
+    from myimagecaptioningmodel_tpu.evaluation.evaluate import load_bundle
+
+    cfg = dataclasses.replace(
+        config_mod.Config(),
+        train=dataclasses.replace(
+            config_mod.Config().train, checkpoint_path=str(tmp_path / "ckpt")
+        ),
+    )
+    p, s, bcfg, opts2, decode = load_bundle(cfg, "infer")
+    assert opts2.parity_mode is True  # the importer pins parity mode on
+    rng = np.random.RandomState(5)
+    ids = np.asarray(
+        decode(p, s, jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32))
+    )
+    assert ids.shape == (2, STEPS)
