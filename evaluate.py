@@ -5,6 +5,7 @@ import argparse
 
 from myimagecaptioningmodel_tpu import config as config_mod
 from myimagecaptioningmodel_tpu.evaluation import evaluate as evaluate_mod
+from myimagecaptioningmodel_tpu.utils import env
 
 
 def main() -> None:
@@ -19,9 +20,13 @@ def main() -> None:
     )
     args = ap.parse_args()
     cfg = config_mod.Config.from_json_file(args.config) if args.config else config_mod.default
+    env.enable_compilation_cache()
+    # mesh="auto": on a multi-chip host the decode batch shards over all
+    # visible devices (the reference's eval ParallelExecutor behavior,
+    # train.py:119-127); single-chip hosts run unsharded.
     evaluate_mod.evaluate(
         cfg, bundle=args.bundle, beam_size=args.beam, quantize=args.quantize,
-        early_stop=args.early_stop,
+        early_stop=args.early_stop, mesh="auto",
     )
 
 

@@ -5,6 +5,7 @@ import argparse
 
 from myimagecaptioningmodel_tpu import config as config_mod
 from myimagecaptioningmodel_tpu.inference import infer as infer_mod
+from myimagecaptioningmodel_tpu.utils import env
 
 
 def main() -> None:
@@ -19,6 +20,7 @@ def main() -> None:
     )
     args = ap.parse_args()
     cfg = config_mod.Config.from_json_file(args.config) if args.config else config_mod.default
+    env.enable_compilation_cache()
     infer_mod.main(
         args.url, cfg, beam_size=args.beam, quantize=args.quantize,
         early_stop=args.early_stop,

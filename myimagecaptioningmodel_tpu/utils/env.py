@@ -50,3 +50,31 @@ def force_cpu_inprocess() -> None:
         if k.startswith(_TPU_ENV_PREFIXES):
             del os.environ[k]
     os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def enable_compilation_cache(directory: Optional[str] = None) -> Optional[str]:
+    """Turn on JAX's persistent XLA compilation cache for this process.
+
+    First compiles of the full model are 20-40 s on TPU; the cache makes
+    every subsequent CLI invocation start hot. ``directory`` defaults to
+    ``$JAX_COMPILATION_CACHE_DIR`` or ``~/.cache/myimagecaptioningmodel_tpu/xla``.
+    Returns the directory used, or None if the cache could not be enabled
+    (old jax); never raises.
+    """
+    directory = (
+        directory
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.join(
+            os.path.expanduser("~"), ".cache", "myimagecaptioningmodel_tpu", "xla"
+        )
+    )
+    try:
+        import jax
+
+        os.makedirs(directory, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", directory)
+        # cache even fast compiles: CLI processes are short-lived
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return directory
+    except Exception:
+        return None

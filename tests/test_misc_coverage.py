@@ -55,6 +55,23 @@ def test_from_dict_resolves_new_nested_dataclasses():
     assert out.inner.x == 7 and out.y == 2
 
 
+def test_enable_compilation_cache(tmp_path):
+    import jax
+
+    from myimagecaptioningmodel_tpu.utils import env as env_mod
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        d = env_mod.enable_compilation_cache(str(tmp_path / "xla"))
+        assert d == str(tmp_path / "xla")
+        import os
+
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+
+
 def test_from_dict_null_section_means_defaults():
     # Regression: an explicit null section ('{"data": null}') must yield the
     # section's defaults, not a None field that crashes on first access.

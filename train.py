@@ -8,6 +8,7 @@ import argparse
 
 from myimagecaptioningmodel_tpu import config as config_mod
 from myimagecaptioningmodel_tpu.training import loop
+from myimagecaptioningmodel_tpu.utils import env
 
 
 def main() -> None:
@@ -15,6 +16,7 @@ def main() -> None:
     ap.add_argument("--config", default=None, help="path to a JSON config")
     args = ap.parse_args()
     cfg = config_mod.Config.from_json_file(args.config) if args.config else config_mod.default
+    env.enable_compilation_cache()
     loop.train(cfg)
 
 
