@@ -60,7 +60,10 @@ def beam_search_ids(
     [B, W*W] candidate matrix. Exact w.r.t. the XLA path: for a fixed beam
     only its best W words can win a next-beam slot. Handles int8 tables.
     """
-    from myimagecaptioningmodel_tpu.models.decoder import _dense_in_dim
+    from myimagecaptioningmodel_tpu.models.decoder import (
+        _dense_in_dim,
+        pallas_dims_ok,
+    )
 
     B = pre.global_feat.shape[0]
     W = beam_size
@@ -69,6 +72,7 @@ def beam_search_ids(
     V = (emb["table_q"] if "table_q" in emb else emb["table"]).shape[0]
     use_fused_head = (
         use_pallas and W > 1 and (B * W) % 8 == 0 and not parity_mode
+        and pallas_dims_ok(params)
     )
     if use_fused_head:
         from myimagecaptioningmodel_tpu.ops.pallas.vocab_head import (

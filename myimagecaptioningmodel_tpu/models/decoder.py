@@ -147,6 +147,23 @@ def precompute(
     return Precomputed(img_v, img_k, global_feat, lstm_gx, gate_gx)
 
 
+def pallas_dims_ok(params: Params) -> bool:
+    """True when the model dims fit the Pallas decode kernels' tiling.
+
+    The fused-step / vocab-head kernels are written for production dims
+    (vocab ~12k streamed in 2048-row blocks, 128-lane-aligned embedding and
+    hidden). Tiny models (unit tests, toy CLIs) trip Mosaic layout
+    constraints (e.g. a [V=128] f32 bias block vs the (2048,) BlockSpec), so
+    undersized dims fall back to the XLA scan/head — identical ids, just
+    unfused.
+    """
+    emb = params["embedding"]
+    table = emb["table_q"] if "table_q" in emb else emb["table"]
+    V, E = table.shape
+    H = _dense_in_dim(params["p_hid"])
+    return V >= 2048 and E % 128 == 0 and H % 128 == 0
+
+
 def _dense_in_dim(p: Params) -> int:
     return (p["w_q"] if "w_q" in p else p["w"]).shape[0]
 
@@ -415,6 +432,7 @@ def greedy_decode_ids(
     # fusions at ~54 us/step on v5e — launch-bound, not bandwidth-bound.
     # int8 params are dequantized once at prepare() (weights stay in VMEM
     # across all steps, so per-step HBM streaming — int8's win — is moot).
+    use_pallas = use_pallas and pallas_dims_ok(params)
     use_fused = (
         use_pallas
         and not parity_mode

@@ -14,8 +14,11 @@ from myimagecaptioningmodel_tpu.ops.pallas import fused_step as FS
 
 @pytest.fixture(scope="module")
 def setup():
+    # dims must satisfy decoder.pallas_dims_ok (padded vocab >= 2048,
+    # 128-aligned E/H) so the decoder-level tests actually take the fused
+    # dispatch instead of the undersized-dims XLA fallback
     dims = DecoderDims(
-        vocab_size=300, embedding_size=128, hidden_dim=256,
+        vocab_size=2000, embedding_size=128, hidden_dim=256,
         feat_channels=1280, vocab_pad_multiple=128,
     )
     params = D.init(jax.random.PRNGKey(0), dims)
@@ -24,7 +27,28 @@ def setup():
     img_embed = jnp.asarray(rng.rand(B, k, H), jnp.float32)
     global_feat = jnp.asarray(rng.rand(B, H), jnp.float32)
     pre = D.precompute(params, img_embed, global_feat, jnp.float32)
+    assert D.pallas_dims_ok(params), "fixture must exercise the fused path"
     return dims, params, pre, B, H
+
+
+def test_pallas_dims_gate_rejects_tiny_models():
+    """Undersized models (toy CLIs, unit tests) must fall back to the XLA
+    scan/head: Mosaic rejects e.g. a [V=128] bias against the 2048-row
+    BlockSpec (observed as a compile failure on v5e)."""
+    tiny = DecoderDims(vocab_size=14, embedding_size=8, hidden_dim=16,
+                       feat_channels=12)
+    params = D.init(jax.random.PRNGKey(0), tiny)
+    assert not D.pallas_dims_ok(params)
+    # greedy decode with use_pallas=True must silently take the fallback
+    rng = np.random.RandomState(0)
+    img_embed = jnp.asarray(rng.rand(4, 5, 16), jnp.float32)
+    global_feat = jnp.asarray(rng.rand(4, 16), jnp.float32)
+    pre = D.precompute(params, img_embed, global_feat, jnp.float32)
+    ids = D.greedy_decode_ids(
+        params, pre, max_length=5, start_idx=2, parity_mode=False,
+        padding_idx=0, compute_dtype=jnp.float32, use_pallas=True,
+    )
+    assert ids.shape == (4, 5)
 
 
 def test_fused_step_matches_oracle_interpret(setup):
