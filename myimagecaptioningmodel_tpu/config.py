@@ -36,6 +36,16 @@ class BuildDatasetConfig:
     # rebuild-only additions (defaults preserve reference behavior):
     num_workers: int = 0  # 0 = serial ingest like the reference; N>0 = parallel
     shard_max_size: int = 30000  # images per HDF5 shard (hdf5_manager.py:152)
+    # Shard storage options. The reference contract is float16 + gzip
+    # (hdf5_manager.py:12,152-159) and stays the default; gzip-5 inflate is
+    # the train-feed bottleneck (~430 img/s/core vs the ~4.2k img/s device
+    # step — benchmarks/feed_roofline.md), so the rebuild offers:
+    #   codec: "gzip" | "lzf" (~25x faster decode) | "none"
+    #   storage_dtype: "float16" (normalized rows, reference contract)
+    #                | "uint8" (raw resized pixels, normalized at feed time;
+    #                  half the bytes of float16 and no inflate cost)
+    codec: str = "gzip"
+    storage_dtype: str = "float16"
 
 
 @dataclass(frozen=True)
@@ -90,6 +100,18 @@ class TrainConfig:
     # order baked into train_cap.npy; deterministic seeding keeps mid-epoch
     # resume exact).
     shuffle_each_epoch: bool = False
+    # rebuild-only: 0 = single-threaded shard reads inside the feeder worker
+    # (reference DataLoader semantics); N>0 = parallel batch reads via
+    # data/hdf5.ParallelHdf5Reader (gzip chunks inflate in a thread pool,
+    # scaling with host cores; identical batches either way).
+    reader_threads: int = 0
+    # rebuild-only: ship raw storage batches (float16/uint8 NCHW) to the
+    # device and fuse transpose/convert/normalize into the first conv
+    # (models/captioner.prepare_images) instead of converting on the host —
+    # numerically identical, 4-8x less H2D traffic, and the host feed cost
+    # collapses to stack+DMA (benchmarks/feed_roofline.md). False restores
+    # the host-side native converter path.
+    device_convert: bool = True
 
 
 @dataclass(frozen=True)

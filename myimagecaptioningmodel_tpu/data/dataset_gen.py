@@ -126,12 +126,18 @@ def build_all(cfg=None, segmenter: str = "auto", split_seed: int | None = None):
     from myimagecaptioningmodel_tpu import config as config_mod
 
     cfg = cfg or config_mod.default
-    return {
+    summary = {
         "gen_hdf5": hdf5_mod.gen_hdf5(cfg),
         "word_seg": word_seg(cfg, segmenter),
         "split": split_data(cfg, split_seed),
         "tokenize": tokenizer_mod.main(cfg),
     }
+    update_dataset_meta(
+        cfg.build_dataset.output_path,
+        storage_dtype=summary["gen_hdf5"]["storage_dtype"],
+        codec=summary["gen_hdf5"]["codec"],
+    )
+    return summary
 
 
 if __name__ == "__main__":

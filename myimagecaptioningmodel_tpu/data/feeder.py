@@ -39,6 +39,8 @@ class PrefetchingFeeder:
         to_nhwc: bool = True,
         device_put: bool = True,
         sharding=None,
+        image_norm: Optional[Tuple] = None,
+        device_convert: bool = False,
     ) -> None:
         self.reader = reader
         self.capacity = max(2, capacity)
@@ -46,14 +48,40 @@ class PrefetchingFeeder:
         self.to_nhwc = to_nhwc
         self.device_put = device_put
         self.sharding = sharding
+        # (mean, std) for raw uint8 shard rows (storage_dtype="uint8");
+        # ignored for float16/float32 rows, which are already normalized
+        self.image_norm = image_norm
+        # device_convert=True ships the raw storage batch (float16/uint8
+        # NCHW) and lets the device fuse transpose/convert/normalize into
+        # the first conv (models/captioner.prepare_images): the host does a
+        # stack + DMA only, and H2D traffic drops 4x (f16) / 8x (uint8) vs
+        # converted float32
+        self.device_convert = device_convert
+
+    @staticmethod
+    def _batch_len(item) -> int:
+        if isinstance(item, tuple):  # pre-stacked (imgs, caps) batch
+            return item[0].shape[0]
+        return len(item)
 
     def _assemble(self, samples) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-        imgs = np.stack([s[0] for s in samples])
-        caps = np.stack([s[1] for s in samples])
+        if isinstance(samples, tuple):
+            # pre-stacked (imgs [B,C,H,W], caps) from the parallel batch reader
+            imgs, caps = samples
+        else:
+            imgs = np.stack([s[0] for s in samples])
+            caps = np.stack([s[1] for s in samples])
+        if self.device_convert:
+            return imgs, caps  # raw storage batch; device converts (see ctor)
         if self.to_nhwc:
-            # fused convert(+f16 decode)+transpose in native threads; handles
-            # both raw float16 shard rows and pre-cast float32
-            imgs = native.convert_chw_to_nhwc_f32(imgs)
+            if imgs.dtype == np.uint8:
+                # fused normalize(+LUT)+transpose in native threads
+                mean, std = self.image_norm or ((0.0,) * 3, (1.0,) * 3)
+                imgs = native.convert_u8chw_to_f32nhwc(imgs, mean, std)
+            else:
+                # fused convert(+f16 decode)+transpose in native threads;
+                # handles raw float16 shard rows and pre-cast float32
+                imgs = native.convert_chw_to_nhwc_f32(imgs)
         elif imgs.dtype != np.float32:
             imgs = imgs.astype(np.float32)
         return imgs, caps
@@ -67,8 +95,8 @@ class PrefetchingFeeder:
             try:
                 for samples in self.reader():
                     if batch_size is None:
-                        batch_size = len(samples)
-                    if self.drop_remainder and len(samples) != batch_size:
+                        batch_size = self._batch_len(samples)
+                    if self.drop_remainder and self._batch_len(samples) != batch_size:
                         continue
                     q.put(self._assemble(samples))
             except BaseException as e:  # surface worker errors to the consumer

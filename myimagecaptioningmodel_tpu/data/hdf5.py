@@ -19,6 +19,7 @@ import json
 import os
 import re
 import time
+import zlib
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import h5py
@@ -121,6 +122,21 @@ class Hdf5Manager:
         assert self._name2idx is not None, "call load_name2idx first"
         return self.read_index(self._name2idx[name])
 
+    @property
+    def storage_info(self) -> Dict[str, object]:
+        """dtype/codec + provenance attrs of the shard set (from the first
+        shard's dataset; the build writes identical attrs to every shard)."""
+        if not self._db_files:
+            return {}
+        d = self._db_files[0]["data"]
+        info: Dict[str, object] = {
+            "dtype": str(d.dtype),
+            "codec": d.compression or "none",
+        }
+        for k, v in d.attrs.items():
+            info[k] = v.tolist() if hasattr(v, "tolist") else v
+        return info
+
     def close(self) -> None:
         for f in self._db_files:
             try:
@@ -129,6 +145,97 @@ class Hdf5Manager:
                 pass
         self._db_files.clear()
         self._cum_lens.clear()
+
+
+class ParallelHdf5Reader:
+    """Thread-pooled random-access batch reads over a shard set.
+
+    h5py serializes every HDF5 library call under one process-global lock,
+    so naive multi-threaded ``read_index`` calls cannot scale. For gzip
+    shards (the reference contract) this reader bypasses HDF5's filter
+    pipeline instead: the raw deflate chunk is fetched under the lock (a
+    cheap page-cache memcpy — measured ~12x faster than inflating under the
+    lock) and inflated with ``zlib.decompress`` in a thread pool (zlib
+    releases the GIL), so decode scales with host cores. lzf/uncompressed
+    shards read through h5py directly — their decode is >10k img/s on one
+    core (benchmarks/feed_roofline.md). Rows are bit-identical to
+    ``Hdf5Manager.read_index``.
+    """
+
+    def __init__(self, db_path, name2idx_path: Optional[str] = None,
+                 threads: int = 4) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._mgr = Hdf5Manager()
+        self._mgr.load_database(db_path)
+        if name2idx_path:
+            self._mgr.load_name2idx(name2idx_path)
+        self._threads = max(1, int(threads))
+        self._pool = ThreadPoolExecutor(
+            self._threads, thread_name_prefix="h5reader"
+        )
+        # per shard: (dataset, global start row, chunk-inflate fast path?)
+        self._plan = []
+        start = 0
+        for f, cum in zip(self._mgr._db_files, self._mgr._cum_lens):
+            d = f["data"]
+            fast = (
+                d.compression == "gzip"
+                and not d.shuffle
+                and not d.fletcher32
+                and d.scaleoffset is None
+                and d.chunks == (1,) + d.shape[1:]
+            )
+            self._plan.append((d, start, fast))
+            start = cum
+
+    def __len__(self) -> int:
+        return len(self._mgr)
+
+    @property
+    def storage_info(self) -> Dict[str, object]:
+        return self._mgr.storage_info
+
+    def _read_one(self, index: int, out: np.ndarray, pos: int) -> None:
+        for d, start, fast in self._plan:
+            if index < start + d.shape[0]:
+                i = index - start
+                if fast:
+                    try:
+                        mask, raw = d.id.read_direct_chunk(
+                            (i,) + (0,) * (len(d.shape) - 1)
+                        )
+                        if mask == 0:  # all filters (i.e. deflate) applied
+                            out[pos] = np.frombuffer(
+                                zlib.decompress(raw), d.dtype
+                            ).reshape(d.shape[1:])
+                            return
+                    except Exception:
+                        pass  # partial-edge/missing chunk: fall through
+                out[pos] = d[i]
+                return
+        raise IndexError(index)
+
+    def read_batch_idx(self, indices: Sequence[int]) -> np.ndarray:
+        """Read rows by global index -> stacked [len(indices), ...] array."""
+        d0 = self._plan[0][0]
+        out = np.empty((len(indices),) + d0.shape[1:], d0.dtype)
+        list(
+            self._pool.map(
+                lambda t: self._read_one(t[1], out, t[0]), enumerate(indices)
+            )
+        )
+        return out
+
+    def read_batch(self, names: Sequence[str]) -> np.ndarray:
+        """Read rows by image name (requires name2idx)."""
+        n2i = self._mgr._name2idx
+        assert n2i is not None, "pass name2idx_path to read by name"
+        return self.read_batch_idx([n2i[n] for n in names])
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
+        self._mgr.close()
 
     def __del__(self) -> None:
         self.close()
@@ -146,7 +253,11 @@ class DbBuilder:
         db_length: int,
         dtype: str = "float32",
         compression_opts: int = 5,
+        codec: str = "gzip",
+        attrs: Optional[Dict[str, object]] = None,
     ) -> None:
+        if codec not in ("gzip", "lzf", "none"):
+            raise ValueError(f"unknown codec {codec!r} (gzip|lzf|none)")
         self.output_path = output_path
         self.name = name
         self.shape = tuple(shape)
@@ -154,6 +265,8 @@ class DbBuilder:
         self.db_length = db_length
         self.dtype = dtype
         self.compression_opts = compression_opts
+        self.codec = codec
+        self.attrs = dict(attrs or {})
         self.file_index = 0
         self.ptr_index = 0
         self.cur_file: Optional[h5py.File] = None
@@ -171,6 +284,11 @@ class DbBuilder:
     def _create_new_file(self, path: str, length: int) -> None:
         if self.cur_file is not None:
             self.cur_file.close()
+        comp: Dict[str, object] = {}
+        if self.codec == "gzip":
+            comp = {"compression": "gzip", "compression_opts": self.compression_opts}
+        elif self.codec == "lzf":
+            comp = {"compression": "lzf"}
         self.cur_file = h5py.File(path, "w")
         self.cur_db = self.cur_file.create_dataset(
             name="data",
@@ -178,9 +296,10 @@ class DbBuilder:
             maxshape=[None] + list(self.shape),
             dtype=self.dtype,
             chunks=tuple([1] + list(self.shape)),
-            compression="gzip",
-            compression_opts=self.compression_opts,
+            **comp,
         )
+        for k, v in self.attrs.items():
+            self.cur_db.attrs[k] = v
 
     def append(self, data: np.ndarray) -> None:
         assert np.shape(data) == self.shape, (np.shape(data), self.shape)
@@ -202,18 +321,27 @@ class DbBuilder:
             self.cur_file.close()
 
 
-def _decode_one(args: Tuple[str, str, Tuple[int, int], Tuple, Tuple]) -> Optional[np.ndarray]:
-    """Worker: decode + normalize one image to the storage dtype."""
+def _decode_one(args: Tuple[str, str, Tuple[int, int], Tuple, Tuple, str]) -> Optional[np.ndarray]:
+    """Worker: decode one image to the storage dtype.
+
+    float16/float32 storage holds *normalized* rows (the reference contract,
+    hdf5_manager.py:12,158-159); uint8 storage holds the raw resized CHW
+    pixels — normalization then happens at feed time from the shard attrs.
+    """
     from myimagecaptioningmodel_tpu.data import image as image_mod
 
-    path, _name, shape, mean, std = args
+    path, _name, shape, mean, std, storage_dtype = args
     try:
-        feat = image_mod.process_image(image_mod.read_image(path), shape, mean, std)
+        img = image_mod.read_image(path)
+        if storage_dtype == "uint8":
+            raw = image_mod.resize_chw_uint8(img, shape)
+            return raw
+        feat = image_mod.process_image(img, shape, mean, std)
     except Exception:
         return None
     if feat is None:
         return None
-    return feat.astype(np.float16) if USE_FLOAT16 else feat
+    return feat.astype(np.float16) if storage_dtype == "float16" else feat
 
 
 def gen_hdf5(cfg=None, progress_every: int = 10000) -> Dict[str, object]:
@@ -240,7 +368,16 @@ def gen_hdf5(cfg=None, progress_every: int = 10000) -> Dict[str, object]:
         images.extend((n, os.path.join(image_path, n)) for n in names)
 
     shape = tuple(dc.image_shape)
-    work = [(p, n, shape, dc.image_mean, dc.image_std) for n, p in images]
+    storage_dtype = getattr(bd, "storage_dtype", "float16")
+    if storage_dtype not in ("float16", "float32", "uint8"):
+        raise ValueError(f"unknown storage_dtype {storage_dtype!r}")
+    if not USE_FLOAT16 and storage_dtype == "float16":
+        storage_dtype = "float32"
+    codec = getattr(bd, "codec", "gzip")
+    work = [
+        (p, n, shape, dc.image_mean, dc.image_std, storage_dtype)
+        for n, p in images
+    ]
 
     os.makedirs(bd.output_path, exist_ok=True)
     builder = DbBuilder(
@@ -249,8 +386,16 @@ def gen_hdf5(cfg=None, progress_every: int = 10000) -> Dict[str, object]:
         shape=(3, *shape),
         max_size=bd.shard_max_size,
         db_length=len(images),
-        dtype="float16" if USE_FLOAT16 else "float32",
+        dtype=storage_dtype,
         compression_opts=bd.compression_opts,
+        codec=codec,
+        attrs={
+            # provenance the feed path needs to reconstruct normalized rows
+            "storage_dtype": storage_dtype,
+            "normalized": storage_dtype != "uint8",
+            "image_mean": np.asarray(dc.image_mean, np.float32),
+            "image_std": np.asarray(dc.image_std, np.float32),
+        },
     )
 
     name2idx: Dict[str, int] = {}
@@ -286,4 +431,6 @@ def gen_hdf5(cfg=None, progress_every: int = 10000) -> Dict[str, object]:
         "skipped": skipped,
         "seconds": elapsed,
         "images_per_sec": row / elapsed if elapsed > 0 else float("inf"),
+        "storage_dtype": storage_dtype,
+        "codec": codec,
     }

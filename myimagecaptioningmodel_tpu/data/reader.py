@@ -38,6 +38,18 @@ def batched(reader: Callable[[], Iterator], batch_size: int) -> Callable[[], Ite
     return gen
 
 
+def as_image_batch(batch) -> Tuple[np.ndarray, list]:
+    """Normalize an eval reader item -> (imgs [B,C,H,W] float32, refs list).
+
+    Accepts both the serial sample-list form (``[(img, refs), ...]``) and the
+    pre-stacked tuple form yielded by ``reader_threads > 0`` readers."""
+    if isinstance(batch, tuple):
+        imgs, refs = batch
+        return imgs, list(refs)
+    imgs, refs = zip(*batch)
+    return np.stack(imgs), list(refs)
+
+
 class DataReader:
     """Reads HDF5 image shards + .npy caption DBs built by the offline stage."""
 
@@ -91,6 +103,16 @@ class DataReader:
 
     # ---- readers -------------------------------------------------------------
 
+    @property
+    def storage_norm(self) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+        """(mean, std) to normalize raw uint8 rows with — from the shard
+        attrs when present (authoritative build-time provenance), else the
+        config."""
+        info = self._hdf5.storage_info if self._hdf5 is not None else {}
+        mean = info.get("image_mean", self.cfg.data.image_mean)
+        std = info.get("image_std", self.cfg.data.image_std)
+        return tuple(mean), tuple(std)
+
     def get_reader(
         self,
         batch_size: Optional[int] = None,
@@ -98,29 +120,114 @@ class DataReader:
         keep_float16: bool = False,
         shuffle_seed: Optional[int] = None,
         skip_samples: int = 0,
+        reader_threads: int = 0,
     ) -> Callable[[], Iterator[List[Sample]]]:
-        """``keep_float16=True`` yields raw float16 shard rows (half the host
-        memory traffic); the feeder's native converter produces the float32
-        NHWC device batch. Default matches the reference contract of float32
-        CHW samples (reader.py:45-47).
+        """``keep_float16=True`` yields raw shard rows (float16 or uint8 —
+        half/quarter the host memory traffic); the feeder's native converter
+        produces the normalized float32 NHWC device batch. Default matches
+        the reference contract of normalized float32 CHW samples
+        (reader.py:45-47) for every storage dtype.
 
         ``shuffle_seed`` reshuffles the training sample order per reader
         instantiation (the reference trains on the one fixed order baked
         into train_cap.npy; pass a per-epoch seed for true reshuffling).
 
         ``skip_samples`` drops the first K training samples without touching
-        the image store (mid-epoch resume fast-forward)."""
+        the image store (mid-epoch resume fast-forward).
+
+        ``reader_threads > 0`` (requires ``batch_size``) reads whole batches
+        through ``ParallelHdf5Reader`` and yields pre-stacked ``(imgs,
+        caps)`` / ``(imgs, [refs...])`` tuples — same contents and order as
+        the serial per-sample stream, but gzip inflate runs in a thread pool
+        that scales with host cores."""
         if self._hdf5 is None:
             self.init_hdf5()
+
+        raw_dtype = self._hdf5.storage_info.get("dtype", "float16")
+        mean, std = self.storage_norm
+
+        def finalize(arr: np.ndarray) -> np.ndarray:
+            """raw row(s) -> the reference float32 contract."""
+            if arr.dtype == np.uint8:
+                from myimagecaptioningmodel_tpu.data import image as image_mod
+
+                return image_mod.normalize_uint8_chw(arr, mean, std)
+            return arr.astype(np.float32)
+
+        if reader_threads and batch_size:
+            return self._get_batch_reader(
+                batch_size, mode, keep_float16, shuffle_seed, skip_samples,
+                reader_threads, finalize,
+            )
 
         if keep_float16:
             h5_read = self._hdf5.read
         else:
 
             def h5_read(name: str) -> np.ndarray:
-                return self._hdf5.read(name).astype(np.float32)
+                return finalize(self._hdf5.read(name))
 
         return self._get_reader(h5_read, batch_size, mode, shuffle_seed, skip_samples)
+
+    def _get_batch_reader(
+        self,
+        batch_size: int,
+        mode: str,
+        keep_raw: bool,
+        shuffle_seed: Optional[int],
+        skip_samples: int,
+        reader_threads: int,
+        finalize: Callable[[np.ndarray], np.ndarray],
+    ) -> Callable[[], Iterator]:
+        """Batch-granular reader over ParallelHdf5Reader (see get_reader)."""
+        from myimagecaptioningmodel_tpu.data.hdf5 import ParallelHdf5Reader
+
+        if mode not in ("train", "dev", "test"):
+            raise ValueError(f"DataReader does not support mode {mode!r}")
+
+        dict_path = self.cfg.data.dict_path
+        pr = ParallelHdf5Reader(
+            list(self.cfg.data.h5_path),
+            self.cfg.data.h5_name2idx,
+            threads=reader_threads,
+        )
+
+        if mode == "train":
+            captions, _max_len = np.load(
+                os.path.join(dict_path, "train_cap.npy"), allow_pickle=True
+            )
+            if shuffle_seed is not None:
+                order = np.random.RandomState(shuffle_seed).permutation(len(captions))
+                captions = [captions[i] for i in order]
+            if skip_samples:
+                captions = captions[skip_samples:]
+
+            def gen() -> Iterator:
+                for i in range(0, len(captions), batch_size):
+                    chunk = captions[i : i + batch_size]
+                    imgs = pr.read_batch([name for name, _cap in chunk])
+                    if not keep_raw:
+                        imgs = finalize(imgs)
+                    caps = np.stack(
+                        [np.asarray(cap, np.int64) for _name, cap in chunk]
+                    )
+                    yield imgs, caps
+
+        else:
+            fname = "dev_data.npy" if mode == "dev" else "eval_data.npy"
+            files, files2cap = np.load(
+                os.path.join(dict_path, fname), allow_pickle=True
+            )
+
+            def gen() -> Iterator:
+                for i in range(0, len(files), batch_size):
+                    chunk = list(files[i : i + batch_size])
+                    imgs = pr.read_batch(chunk)
+                    if not keep_raw:
+                        imgs = finalize(imgs)
+                    yield imgs, [files2cap[name] for name in chunk]
+
+        return gen
 
     def _get_reader(
         self,

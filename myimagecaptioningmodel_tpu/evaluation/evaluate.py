@@ -18,6 +18,7 @@ import jax
 import numpy as np
 
 from myimagecaptioningmodel_tpu.data.image import chw_to_nhwc
+from myimagecaptioningmodel_tpu.data import reader as reader_datamod
 from myimagecaptioningmodel_tpu.data.reader import DataReader
 from myimagecaptioningmodel_tpu.evaluation import metrics
 from myimagecaptioningmodel_tpu.models import captioner
@@ -128,7 +129,9 @@ def evaluate(
     dr = DataReader(cfg)
     index_word = dr.index_word
     batch_size = cfg.train.batch_size
-    reader = dr.get_reader(batch_size, mode)
+    reader = dr.get_reader(
+        batch_size, mode, reader_threads=cfg.train.reader_threads
+    )
 
     bleu_score = [0.0] * 5
     sentences = set()
@@ -158,9 +161,9 @@ def evaluate(
 
     pending = None
     for batch in reader():
-        imgs, refs = zip(*batch)
+        imgs, refs = reader_datamod.as_image_batch(batch)
         n = len(imgs)
-        stacked = chw_to_nhwc(np.stack(imgs).astype(np.float32))
+        stacked = chw_to_nhwc(imgs.astype(np.float32))
         if n < batch_size:
             pad = np.zeros((batch_size - n, *stacked.shape[1:]), stacked.dtype)
             stacked = np.concatenate([stacked, pad])

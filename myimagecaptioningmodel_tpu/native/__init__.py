@@ -58,6 +58,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
             lib.convert_f32chw_to_f32nhwc.argtypes = lib.convert_f16chw_to_f32nhwc.argtypes
+            lib.convert_u8chw_to_f32nhwc.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -92,5 +97,44 @@ def convert_chw_to_nhwc_f32(batch: np.ndarray, nthreads: int = 0) -> np.ndarray:
         src.ctypes.data_as(ctypes.c_void_p),
         dst.ctypes.data_as(ctypes.c_void_p),
         n, c, h, w, nthreads,
+    )
+    return dst
+
+
+def convert_u8chw_to_f32nhwc(
+    batch: np.ndarray,
+    mean,
+    std,
+    nthreads: int = 0,
+) -> np.ndarray:
+    """Raw uint8 [N,C,H,W] shard rows -> normalized float32 [N,H,W,C].
+
+    Fuses the /255 + per-channel mean/std normalization (matching
+    ``data.image.process_image``) into the transpose pass via per-channel
+    LUTs. NumPy fallback when the shared library can't be built.
+    """
+    assert batch.ndim == 4 and batch.dtype == np.uint8, (batch.shape, batch.dtype)
+    n, c, h, w = batch.shape
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    lib = get_lib()
+    if lib is None:
+        from myimagecaptioningmodel_tpu.data import image as image_mod
+
+        return np.ascontiguousarray(
+            image_mod.normalize_uint8_chw(batch, mean, std).transpose(0, 2, 3, 1)
+        )
+    scale = np.ascontiguousarray(1.0 / (255.0 * std), np.float32)
+    bias = np.ascontiguousarray(-mean / std, np.float32)
+    if nthreads <= 0:
+        nthreads = min(os.cpu_count() or 1, 8)
+    src = np.ascontiguousarray(batch)
+    dst = np.empty((n, h, w, c), np.float32)
+    lib.convert_u8chw_to_f32nhwc(
+        src.ctypes.data_as(ctypes.c_void_p),
+        dst.ctypes.data_as(ctypes.c_void_p),
+        n, c, h, w, nthreads,
+        scale.ctypes.data_as(ctypes.c_void_p),
+        bias.ctypes.data_as(ctypes.c_void_p),
     )
     return dst

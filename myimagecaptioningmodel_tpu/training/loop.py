@@ -33,6 +33,7 @@ import numpy as np
 
 from myimagecaptioningmodel_tpu.data.feeder import PrefetchingFeeder
 from myimagecaptioningmodel_tpu.data.image import chw_to_nhwc
+from myimagecaptioningmodel_tpu.data import reader as reader_mod
 from myimagecaptioningmodel_tpu.data.reader import DataReader
 from myimagecaptioningmodel_tpu.evaluation import metrics
 from myimagecaptioningmodel_tpu.models import captioner
@@ -83,9 +84,9 @@ def _dev_eval(decode_fn, params, model_state, reader_gen, index_word, batch_size
 
     pending = None
     for batch in reader_gen():
-        imgs, refs = zip(*batch)
+        imgs, refs = reader_mod.as_image_batch(batch)
         n = len(imgs)
-        stacked = chw_to_nhwc(np.stack(imgs))
+        stacked = chw_to_nhwc(imgs)
         if n < batch_size:
             pad = np.zeros((batch_size - n, *stacked.shape[1:]), stacked.dtype)
             stacked = np.concatenate([stacked, pad])
@@ -220,6 +221,7 @@ def train(
     batch_size = cfg.train.batch_size
     batch_sharding = mesh_mod.batch_sharding(mesh) if mesh is not None else None
     last_bleu = 0.0
+    mean_loss = float("nan")  # stays NaN when resume finds nothing to run
 
     for epoch in range(start_epoch, cfg.train.max_epoch + 1):
         logger.epoch = epoch
@@ -242,10 +244,13 @@ def train(
                 batch_size, "train", keep_float16=True,
                 shuffle_seed=shuffle_seed,
                 skip_samples=skip * batch_size,
+                reader_threads=cfg.train.reader_threads,
             ),
             capacity=cfg.train.data_loader_capacity,
             drop_remainder=True,
             sharding=batch_sharding,
+            image_norm=data_reader.storage_norm,
+            device_convert=cfg.train.device_convert,
         )
         every_n = cfg.train.checkpoint_every_n_steps
         for imgs, caps in feeder:
@@ -315,7 +320,9 @@ def train(
             steps.decode_step,
             params,
             model_state,
-            data_reader.get_reader(batch_size, "dev"),
+            data_reader.get_reader(
+                batch_size, "dev", reader_threads=cfg.train.reader_threads
+            ),
             data_reader.index_word,
             batch_size,
             cfg.data.stop_idx,
@@ -336,4 +343,5 @@ def train(
         "final_step": int(step),
         "last_dev_bleu": last_bleu,
         "best_bleu": logger.best_bleu,
+        "last_epoch_loss": mean_loss,
     }
