@@ -17,7 +17,6 @@ from typing import Dict
 import jax
 import numpy as np
 
-from myimagecaptioningmodel_tpu.data.image import chw_to_nhwc
 from myimagecaptioningmodel_tpu.data import reader as reader_datamod
 from myimagecaptioningmodel_tpu.data.reader import DataReader
 from myimagecaptioningmodel_tpu.evaluation import metrics
@@ -129,8 +128,21 @@ def evaluate(
     dr = DataReader(cfg)
     index_word = dr.index_word
     batch_size = cfg.train.batch_size
+    dr.init_hdf5()
+    # Feed raw storage rows (f16/u8 NCHW) when safe: the decode fn's
+    # prepare_images converts on device (4-8x less H2D than f32 NHWC).
+    # uint8 rows need the model's image_norm to match the shards' recorded
+    # normalization; fall back to host normalization when it doesn't.
+    info = dr._hdf5.storage_info
+    raw_ok = bool(info.get("normalized", True))
+    if not raw_ok and opts.image_norm is not None:
+        mean, std = dr.storage_norm
+        raw_ok = np.allclose(mean, opts.image_norm[0]) and np.allclose(
+            std, opts.image_norm[1]
+        )
     reader = dr.get_reader(
-        batch_size, mode, reader_threads=cfg.train.reader_threads
+        batch_size, mode, keep_float16=raw_ok,
+        reader_threads=cfg.train.reader_threads,
     )
 
     bleu_score = [0.0] * 5
@@ -163,11 +175,10 @@ def evaluate(
     for batch in reader():
         imgs, refs = reader_datamod.as_image_batch(batch)
         n = len(imgs)
-        stacked = chw_to_nhwc(imgs.astype(np.float32))
         if n < batch_size:
-            pad = np.zeros((batch_size - n, *stacked.shape[1:]), stacked.dtype)
-            stacked = np.concatenate([stacked, pad])
-        ids_dev = decode(params, model_state, stacked)
+            pad = np.zeros((batch_size - n, *imgs.shape[1:]), imgs.dtype)
+            imgs = np.concatenate([imgs, pad])
+        ids_dev = decode(params, model_state, imgs)
         if pending is not None:
             score(*pending)
         pending = (ids_dev, refs, n)

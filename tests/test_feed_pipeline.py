@@ -316,6 +316,39 @@ def test_train_device_convert_equivalence(corpora):
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
 
 
+def test_dev_eval_raw_feed_matches_f32(corpora):
+    """_dev_eval fed raw f16 NCHW rows == fed host-converted f32 rows
+    (identical BLEU/distinct: prepare_images converts exactly on device)."""
+    from myimagecaptioningmodel_tpu.training.loop import _dev_eval
+
+    cfg, _ = corpora["ref"]
+    # tiny corpora can land 0 images in the 5% dev split — synthesize one
+    dr0 = DataReader(cfg)
+    dr0.init_hdf5()
+    names = sorted(dr0._hdf5._name2idx)[:4]
+    refs = {n: [["一个", "男人"], ["一只", "猫"]] for n in names}
+    np.save(
+        os.path.join(cfg.data.dict_path, "dev_data.npy"),
+        np.asarray([names, refs], dtype=object),
+    )
+
+    opts = ModelOptions.from_config(cfg)
+    params, state = captioner.init(jax.random.PRNGKey(0), opts)
+    decode = jax.jit(
+        lambda p, s, x: captioner.greedy_decode(p, s, x, opts)
+    )
+    results = {}
+    for raw in (True, False):
+        dr = DataReader(cfg)
+        results[raw] = _dev_eval(
+            decode, params, state,
+            dr.get_reader(4, "dev", keep_float16=raw),
+            dr.index_word, 4, cfg.data.stop_idx, cfg.data.padding_idx,
+        )
+    assert results[True] == results[False]
+    assert results[True][0] >= 0.0
+
+
 def test_train_uint8_lzf_end_to_end(corpora):
     """Full loop on the uint8+lzf artifact set with threads + device convert."""
     from myimagecaptioningmodel_tpu.training import loop
