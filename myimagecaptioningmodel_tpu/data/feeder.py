@@ -82,6 +82,12 @@ class PrefetchingFeeder:
                 # fused convert(+f16 decode)+transpose in native threads;
                 # handles raw float16 shard rows and pre-cast float32
                 imgs = native.convert_chw_to_nhwc_f32(imgs)
+        elif imgs.dtype == np.uint8:
+            # layout kept CHW, but raw pixels still need normalizing
+            from myimagecaptioningmodel_tpu.data import image as image_mod
+
+            mean, std = self.image_norm or ((0.0,) * 3, (1.0,) * 3)
+            imgs = image_mod.normalize_uint8_chw(imgs, mean, std)
         elif imgs.dtype != np.float32:
             imgs = imgs.astype(np.float32)
         return imgs, caps

@@ -146,6 +146,9 @@ class Hdf5Manager:
         self._db_files.clear()
         self._cum_lens.clear()
 
+    def __del__(self) -> None:
+        self.close()
+
 
 class ParallelHdf5Reader:
     """Thread-pooled random-access batch reads over a shard set.
@@ -234,11 +237,16 @@ class ParallelHdf5Reader:
         return self.read_batch_idx([n2i[n] for n in names])
 
     def close(self) -> None:
-        self._pool.shutdown(wait=False)
+        # wait: in-flight read tasks must not see files closed under them
+        self._pool.shutdown(wait=True)
         self._mgr.close()
 
     def __del__(self) -> None:
-        self.close()
+        # guard: load_database may have raised before _pool was assigned
+        if getattr(self, "_pool", None) is not None:
+            self.close()
+        elif getattr(self, "_mgr", None) is not None:
+            self._mgr.close()
 
 
 class DbBuilder:

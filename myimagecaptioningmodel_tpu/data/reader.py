@@ -143,7 +143,6 @@ class DataReader:
         if self._hdf5 is None:
             self.init_hdf5()
 
-        raw_dtype = self._hdf5.storage_info.get("dtype", "float16")
         mean, std = self.storage_norm
 
         def finalize(arr: np.ndarray) -> np.ndarray:
@@ -169,6 +168,36 @@ class DataReader:
 
         return self._get_reader(h5_read, batch_size, mode, shuffle_seed, skip_samples)
 
+    def _load_split(
+        self,
+        mode: str,
+        shuffle_seed: Optional[int],
+        skip_samples: int,
+    ):
+        """Load one split's caption DB — the single source of ordering,
+        shuffle, and resume-skip semantics for BOTH the serial and threaded
+        readers (their equivalence is pinned by
+        tests/test_feed_pipeline.py::test_threaded_get_reader_matches_serial).
+
+        train -> list of (name, padded caption ids); dev/test ->
+        (names list, {name: [ref word-lists]}).
+        """
+        if mode not in ("train", "dev", "test"):
+            raise ValueError(f"DataReader does not support mode {mode!r}")
+        dict_path = self.cfg.data.dict_path
+        if mode == "train":
+            captions, _max_len = np.load(
+                os.path.join(dict_path, "train_cap.npy"), allow_pickle=True
+            )
+            if shuffle_seed is not None:
+                order = np.random.RandomState(shuffle_seed).permutation(len(captions))
+                captions = [captions[i] for i in order]
+            if skip_samples:
+                captions = captions[skip_samples:]
+            return captions
+        fname = "dev_data.npy" if mode == "dev" else "eval_data.npy"
+        return np.load(os.path.join(dict_path, fname), allow_pickle=True)
+
     def _get_batch_reader(
         self,
         batch_size: int,
@@ -179,53 +208,54 @@ class DataReader:
         reader_threads: int,
         finalize: Callable[[np.ndarray], np.ndarray],
     ) -> Callable[[], Iterator]:
-        """Batch-granular reader over ParallelHdf5Reader (see get_reader)."""
+        """Batch-granular reader over ParallelHdf5Reader (see get_reader).
+
+        The reader (thread pool + per-pool shard handles) is opened per
+        iteration and closed deterministically when the generator finishes
+        or is dropped (finally), so epoch loops don't accumulate pools."""
         from myimagecaptioningmodel_tpu.data.hdf5 import ParallelHdf5Reader
 
-        if mode not in ("train", "dev", "test"):
-            raise ValueError(f"DataReader does not support mode {mode!r}")
+        split = self._load_split(mode, shuffle_seed, skip_samples)
 
-        dict_path = self.cfg.data.dict_path
-        pr = ParallelHdf5Reader(
-            list(self.cfg.data.h5_path),
-            self.cfg.data.h5_name2idx,
-            threads=reader_threads,
-        )
+        def open_reader() -> ParallelHdf5Reader:
+            return ParallelHdf5Reader(
+                list(self.cfg.data.h5_path),
+                self.cfg.data.h5_name2idx,
+                threads=reader_threads,
+            )
 
         if mode == "train":
-            captions, _max_len = np.load(
-                os.path.join(dict_path, "train_cap.npy"), allow_pickle=True
-            )
-            if shuffle_seed is not None:
-                order = np.random.RandomState(shuffle_seed).permutation(len(captions))
-                captions = [captions[i] for i in order]
-            if skip_samples:
-                captions = captions[skip_samples:]
+            captions = split
 
             def gen() -> Iterator:
-                for i in range(0, len(captions), batch_size):
-                    chunk = captions[i : i + batch_size]
-                    imgs = pr.read_batch([name for name, _cap in chunk])
-                    if not keep_raw:
-                        imgs = finalize(imgs)
-                    caps = np.stack(
-                        [np.asarray(cap, np.int64) for _name, cap in chunk]
-                    )
-                    yield imgs, caps
+                pr = open_reader()
+                try:
+                    for i in range(0, len(captions), batch_size):
+                        chunk = captions[i : i + batch_size]
+                        imgs = pr.read_batch([name for name, _cap in chunk])
+                        if not keep_raw:
+                            imgs = finalize(imgs)
+                        caps = np.stack(
+                            [np.asarray(cap, np.int64) for _name, cap in chunk]
+                        )
+                        yield imgs, caps
+                finally:
+                    pr.close()
 
         else:
-            fname = "dev_data.npy" if mode == "dev" else "eval_data.npy"
-            files, files2cap = np.load(
-                os.path.join(dict_path, fname), allow_pickle=True
-            )
+            files, files2cap = split
 
             def gen() -> Iterator:
-                for i in range(0, len(files), batch_size):
-                    chunk = list(files[i : i + batch_size])
-                    imgs = pr.read_batch(chunk)
-                    if not keep_raw:
-                        imgs = finalize(imgs)
-                    yield imgs, [files2cap[name] for name in chunk]
+                pr = open_reader()
+                try:
+                    for i in range(0, len(files), batch_size):
+                        chunk = list(files[i : i + batch_size])
+                        imgs = pr.read_batch(chunk)
+                        if not keep_raw:
+                            imgs = finalize(imgs)
+                        yield imgs, [files2cap[name] for name in chunk]
+                finally:
+                    pr.close()
 
         return gen
 
@@ -237,29 +267,17 @@ class DataReader:
         shuffle_seed: Optional[int] = None,
         skip_samples: int = 0,
     ) -> Callable[[], Iterator]:
-        if mode not in ("train", "dev", "test"):
-            raise ValueError(f"DataReader does not support mode {mode!r}")
+        split = self._load_split(mode, shuffle_seed, skip_samples)
 
-        dict_path = self.cfg.data.dict_path
         if mode == "train":
-            captions, _max_len = np.load(
-                os.path.join(dict_path, "train_cap.npy"), allow_pickle=True
-            )
-            if shuffle_seed is not None:
-                order = np.random.RandomState(shuffle_seed).permutation(len(captions))
-                captions = [captions[i] for i in order]
-            if skip_samples:
-                captions = captions[skip_samples:]
+            captions = split
 
             def reader() -> Iterator[Sample]:
                 for name, cap in captions:
                     yield processor(name), np.asarray(cap, dtype=np.int64)
 
         else:
-            fname = "dev_data.npy" if mode == "dev" else "eval_data.npy"
-            files, files2cap = np.load(
-                os.path.join(dict_path, fname), allow_pickle=True
-            )
+            files, files2cap = split
 
             def reader() -> Iterator[Sample]:
                 for name in files:

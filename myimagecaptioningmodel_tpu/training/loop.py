@@ -165,6 +165,24 @@ def train(
     logger = Logger(cfg.log.log_path, opts.encoder_trainable)
     data_reader = DataReader(cfg)
 
+    data_reader.init_hdf5()
+    if not data_reader._hdf5.storage_info.get("normalized", True):
+        # raw uint8 shards: the mean/std stamped into the shard attrs at
+        # build time are authoritative (they define what the pixels mean).
+        # Pin them into the model options so the device_convert path
+        # (prepare_images) normalizes identically to the host path, even if
+        # the current config's image_mean/std have drifted.
+        shard_norm = data_reader.storage_norm
+        if opts.image_norm is not None and not (
+            np.allclose(shard_norm[0], opts.image_norm[0])
+            and np.allclose(shard_norm[1], opts.image_norm[1])
+        ):
+            logger.log(
+                "WARNING: config image_mean/std differ from the dataset's "
+                f"recorded normalization; using the shard attrs {shard_norm}"
+            )
+        opts = opts._replace(image_norm=shard_norm)
+
     if mesh == "auto":
         n = len(jax.devices())
         mesh = (

@@ -256,6 +256,61 @@ def test_feeder_prestacked_and_u8(corpora):
     assert imgs.dtype == np.uint8 and imgs.shape[1] == 3  # raw NCHW
 
 
+def test_feeder_chw_u8_normalizes(corpora):
+    """to_nhwc=False + uint8 rows must still normalize (review finding)."""
+    cfg, _ = corpora["u8"]
+    dr = DataReader(cfg)
+    feeder = PrefetchingFeeder(
+        dr.get_reader(4, "train", keep_float16=True),
+        capacity=2, drop_remainder=False, device_put=False,
+        to_nhwc=False, image_norm=dr.storage_norm,
+    )
+    imgs, _caps = next(iter(feeder))
+    assert imgs.dtype == np.float32 and imgs.shape[1] == 3  # CHW, normalized
+    ref = list(DataReader(corpora["ref"][0]).get_reader(4, "train")())[0]
+    want = np.stack([s[0] for s in ref])
+    np.testing.assert_allclose(imgs, want, atol=3e-3)
+
+
+def test_parallel_reader_bad_path_raises_cleanly():
+    with pytest.raises(FileNotFoundError):
+        hdf5_mod.ParallelHdf5Reader("/nonexistent_dir_xyz")
+    # partially-constructed instances must not blow up in __del__
+    import gc
+
+    gc.collect()
+
+
+def test_train_uint8_norm_provenance(corpora, tmp_path):
+    """Training on uint8 shards uses the normalization recorded in the shard
+    attrs even when the current config's image_mean/std disagree — and the
+    device_convert and host-convert paths stay bit-equal under the mismatch."""
+    from myimagecaptioningmodel_tpu.training import loop
+
+    cfg, _ = corpora["u8"]
+    # drift the config's normalization away from what the shards recorded
+    cfg = config_mod.replace_nested(cfg, "data.image_mean", (0.0, 0.0, 0.0))
+    cfg = config_mod.replace_nested(cfg, "data.image_std", (1.0, 1.0, 1.0))
+    losses = {}
+    for dc in (False, True):
+        run = config_mod.replace_nested(cfg, "train.device_convert", dc)
+        run = config_mod.replace_nested(
+            run, "train.checkpoint_path", str(tmp_path / f"save_np{int(dc)}")
+        )
+        run = config_mod.replace_nested(
+            run, "log.log_path", str(tmp_path / f"log_np{int(dc)}")
+        )
+        # single step: the host LUT (v*scale+bias) and device ((v/255-m)/s)
+        # normalizations differ by ~1 ulp per pixel, which training steps
+        # amplify — compare the un-amplified first loss
+        losses[dc] = loop.train(run, mesh=None, max_steps_per_epoch=1)[
+            "last_epoch_loss"
+        ]
+        log_text = (tmp_path / f"log_np{int(dc)}" / "log.txt").read_text()
+        assert "recorded normalization" in log_text  # provenance warning fired
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
+
+
 def test_native_u8_convert_matches_numpy():
     rng = np.random.RandomState(0)
     u8 = rng.randint(0, 256, (3, 3, 17, 17), np.uint8)
