@@ -234,6 +234,7 @@ def main() -> None:
             )
         jax.block_until_ready(loss)
         dt = time.time() - t0
+        extra["train_images_per_sec"] = round(BATCH * n / dt, 1)
         log(f"train: {BATCH * n / dt:.1f} images/s ({dt / n * 1000:.1f} ms/step)")
     except Exception as e:  # diagnostics must never break the benchmark line
         log(f"train-step diagnostic failed: {type(e).__name__}: {e}")
