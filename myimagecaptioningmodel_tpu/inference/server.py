@@ -1,0 +1,228 @@
+"""Long-running caption server with dynamic batching.
+
+The reference's serving story is one image per process invocation
+(infer.py:26-36 — download, load the frozen program, run, exit). This is
+the production-shaped resident service: the bundle is loaded and the decode
+jitted ONCE at a fixed batch shape; concurrent requests are collected into
+that shape (dispatch when full or after ``max_wait_ms``), decoded in one
+device call, and answered individually. Amortizing the fixed per-dispatch
+cost across requests is what turns the ~X ms single-image latency into the
+device's batched captions/s rate.
+
+Stdlib-only HTTP (no extra deps):
+
+    python -m myimagecaptioningmodel_tpu.inference.server \
+        [--config cfg.json] [--port 8765] [--batch 8] [--beam N] \
+        [--quantize] [--max-wait-ms 5]
+
+    POST /caption   body = raw image bytes (JPEG/PNG/...)
+                    -> {"ids": [...], "caption": "..."}
+    GET  /healthz   -> {"status": "ok", "batch": B, ...}
+
+The batcher pads partial batches with zeros (same fixed executable; padded
+rows are decoded and dropped, exactly like the evaluators' final batch).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+from myimagecaptioningmodel_tpu.data import image as image_mod
+from myimagecaptioningmodel_tpu.evaluation import metrics
+from myimagecaptioningmodel_tpu.evaluation.evaluate import load_bundle
+
+
+class _Request:
+    __slots__ = ("arr", "event", "ids", "error")
+
+    def __init__(self, arr):
+        self.arr = arr  # [H, W, 3] float32 NHWC (normalized)
+        self.event = threading.Event()
+        self.ids: Optional[List[int]] = None
+        self.error: Optional[str] = None
+
+
+class CaptionService:
+    """Bundle + jitted fixed-batch decode + dynamic batcher thread."""
+
+    def __init__(self, cfg, bundle: str = "infer", batch_size: int = 8,
+                 beam_size: int = 0, quantize: bool = False,
+                 early_stop: bool = False, max_wait_ms: float = 5.0) -> None:
+        from myimagecaptioningmodel_tpu.data.reader import DataReader
+
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.max_wait = max_wait_ms / 1000.0
+        self.params, self.state, _bcfg, self.opts, self.decode = load_bundle(
+            cfg, bundle, beam_size, quantize,
+            early_stop=early_stop and not beam_size,
+        )
+        self.index_word = DataReader(cfg).index_word
+        self.shape = tuple(cfg.data.image_shape)
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._batcher, daemon=True, name="caption-batcher"
+        )
+        self._thread.start()
+        self.warmup()
+
+    # -- request path -------------------------------------------------------
+
+    def prepare(self, data: bytes) -> np.ndarray:
+        """image bytes -> normalized [H, W, 3] float32 (NHWC row)."""
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        arr = image_mod.process_image(
+            img, self.shape, self.cfg.data.image_mean, self.cfg.data.image_std
+        )
+        if arr is None:
+            raise ValueError("not a 3-channel image")
+        return np.ascontiguousarray(arr.transpose(1, 2, 0))  # CHW -> HWC
+
+    def caption_bytes(self, data: bytes, timeout: float = 60.0) -> dict:
+        req = _Request(self.prepare(data))
+        self._q.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("decode queue timeout")
+        if req.error:
+            raise RuntimeError(req.error)
+        words = metrics.filter_ids(
+            req.ids, self.index_word, self.cfg.data.stop_idx,
+            self.cfg.data.padding_idx,
+        )
+        return {"ids": req.ids, "caption": metrics.words2sentence(words)}
+
+    def warmup(self) -> None:
+        """Compile the fixed-shape decode before serving traffic."""
+        import jax
+
+        B = self.batch_size
+        x = np.zeros((B, *self.shape, 3), np.float32)
+        jax.block_until_ready(self.decode(self.params, self.state, x))
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # -- batcher ------------------------------------------------------------
+
+    def _batcher(self) -> None:
+        import time
+
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.batch_size:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            try:
+                imgs = np.zeros(
+                    (self.batch_size, *self.shape, 3), np.float32
+                )
+                for i, r in enumerate(batch):
+                    imgs[i] = r.arr
+                ids = np.asarray(self.decode(self.params, self.state, imgs))
+                for i, r in enumerate(batch):
+                    r.ids = [int(v) for v in ids[i]]
+            except Exception as e:  # surface decode errors to every waiter
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+            for r in batch:
+                r.event.set()
+
+
+def make_server(service: CaptionService, port: int = 8765,
+                host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj, ensure_ascii=False).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "batch": service.batch_size,
+                    "max_wait_ms": service.max_wait * 1000.0,
+                })
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/caption":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                data = self.rfile.read(n)
+                self._send(200, service.caption_bytes(data))
+            except Exception as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    from myimagecaptioningmodel_tpu import config as config_mod
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--config", help="JSON config file")
+    ap.add_argument("--bundle", default="infer")
+    ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--beam", type=int, default=0)
+    ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--early-stop", action="store_true")
+    ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    args = ap.parse_args(argv)
+
+    cfg = (
+        config_mod.Config.from_json_file(args.config)
+        if args.config
+        else config_mod.default
+    )
+    service = CaptionService(
+        cfg, args.bundle, args.batch, args.beam, args.quantize,
+        args.early_stop, args.max_wait_ms,
+    )
+    server = make_server(service, args.port, args.host)
+    print(f"caption server on http://{args.host}:{args.port} "
+          f"(batch {args.batch}, beam {args.beam})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Caption server (inference/server.py): dynamic batching, HTTP surface,
+and agreement with the direct decode path."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from myimagecaptioningmodel_tpu.data import dataset_gen
+from myimagecaptioningmodel_tpu.inference import server as server_mod
+from myimagecaptioningmodel_tpu.training import loop
+
+from test_feed_pipeline import build_corpus, make_cfg, patch_vocab
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    root = tmp_path_factory.mktemp("server")
+    img_dir, ann = build_corpus(root)
+    cfg = make_cfg(root, img_dir, ann, "srv", export_infer_model=True)
+    summary = dataset_gen.build_all(cfg, segmenter="space", split_seed=0)
+    cfg = patch_vocab(cfg, summary)
+    loop.train(cfg, mesh=None)
+    svc = server_mod.CaptionService(cfg, batch_size=4, max_wait_ms=30.0)
+    yield cfg, svc, img_dir
+    svc.close()
+
+
+def jpeg_bytes(rng, size=40):
+    buf = io.BytesIO()
+    Image.fromarray(rng.randint(0, 255, (size, size, 3), np.uint8)).save(
+        buf, format="JPEG"
+    )
+    return buf.getvalue()
+
+
+def test_caption_bytes_matches_direct_decode(service):
+    cfg, svc, _img_dir = service
+    rng = np.random.RandomState(0)
+    data = jpeg_bytes(rng)
+
+    out = svc.caption_bytes(data)
+    assert isinstance(out["ids"], list) and isinstance(out["caption"], str)
+
+    # direct decode of the same prepared row through the service's own jit
+    row = svc.prepare(data)
+    imgs = np.zeros((svc.batch_size, *row.shape), np.float32)
+    imgs[0] = row
+    ids = np.asarray(svc.decode(svc.params, svc.state, imgs))[0]
+    assert out["ids"] == [int(v) for v in ids]
+
+
+def test_concurrent_requests_batch_together(service):
+    _cfg, svc, _ = service
+    rng = np.random.RandomState(1)
+    payloads = [jpeg_bytes(rng) for _ in range(4)]
+    results = [None] * 4
+    errors = []
+
+    def worker(i):
+        try:
+            results[i] = svc.caption_bytes(payloads[i])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    assert all(r is not None and r["ids"] for r in results)
+
+
+def test_http_surface(service):
+    _cfg, svc, _ = service
+    httpd = server_mod.make_server(svc, port=0)  # ephemeral port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["batch"] == 4
+
+        rng = np.random.RandomState(2)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption", data=jpeg_bytes(rng),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert "ids" in out and "caption" in out
+
+        # malformed body -> 400 with an error message, server stays up
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/caption", data=b"not an image",
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+    finally:
+        httpd.shutdown()
