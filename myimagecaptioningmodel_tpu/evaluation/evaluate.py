@@ -82,17 +82,34 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
     if mesh is not None:
         from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
 
-        # Pallas kernels are not annotated for the SPMD partitioner; under a
-        # sharded jit they would at best replicate (all-gathering the batch).
-        # Multi-chip decode therefore uses the XLA path — per-chip batches
-        # still saturate the chips; the fused kernels are the single-chip
-        # serving path.
-        opts = opts._replace(use_pallas=False)
-        repl = mesh_mod.replicated(mesh)
-        batch = mesh_mod.batch_sharding(mesh)
-        decode = jax.jit(
-            decode_fn, in_shardings=(repl, repl, batch), out_shardings=batch
-        )
+        if mesh.shape.get(mesh_mod.MODEL_AXIS, 1) == 1:
+            # Data-only mesh: run the WHOLE decode per shard via shard_map —
+            # each chip executes the full program (including the fused
+            # Pallas kernels, which the SPMD partitioner can't split but a
+            # manual per-shard program runs natively) on its local batch
+            # rows. Decode is batch-parallel with zero collectives.
+            from jax.sharding import PartitionSpec as P
+
+            decode = jax.jit(
+                jax.shard_map(
+                    decode_fn,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(mesh_mod.DATA_AXIS)),
+                    out_specs=P(mesh_mod.DATA_AXIS),
+                    check_vma=False,
+                )
+            )
+        else:
+            # Model-parallel mesh (e.g. vocab-TP): params are sharded, so
+            # fall back to GSPMD; Pallas kernels are not annotated for the
+            # SPMD partitioner and would at best replicate — use the XLA
+            # path. Per-chip batches still saturate the chips.
+            opts = opts._replace(use_pallas=False)
+            repl = mesh_mod.replicated(mesh)
+            batch = mesh_mod.batch_sharding(mesh)
+            decode = jax.jit(
+                decode_fn, in_shardings=(repl, repl, batch), out_shardings=batch
+            )
     else:
         decode = jax.jit(decode_fn)
     return params, model_state, bundle_cfg, opts, decode
