@@ -51,16 +51,9 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
     )
     opts = ModelOptions.from_config(opts_cfg)
     if early_stop:
-        if beam_size and beam_size > 1:
-            import warnings
-
-            warnings.warn(
-                "early_stop applies to greedy decode only; beam search "
-                "always runs the fixed-length scan — ignoring early_stop",
-                stacklevel=2,
-            )
-        else:
-            opts = opts._replace(early_stop_decode=True)
+        # greedy: while_loop exit once all rows emitted <stop>; beam: exit
+        # once every beam is finished (identical captions either way)
+        opts = opts._replace(early_stop_decode=True)
     like_params, like_state = captioner.init(jax.random.PRNGKey(0), opts)
     params, model_state, bundle_cfg = ckpt.load_inference_bundle(
         directory, like_params, like_state

@@ -70,7 +70,7 @@ def caption_directory(
     from myimagecaptioningmodel_tpu.data.reader import DataReader
 
     params, model_state, _bcfg, _opts, decode = load_bundle(
-        cfg, bundle, beam_size, quantize, early_stop=early_stop and not beam_size
+        cfg, bundle, beam_size, quantize, early_stop=early_stop
     )
     index_word = DataReader(cfg).index_word
 

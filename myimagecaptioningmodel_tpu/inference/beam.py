@@ -50,6 +50,7 @@ def beam_search_ids(
     compute_dtype=jnp.bfloat16,
     use_pallas: bool = False,
     interpret: bool = False,
+    early_stop: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (ids [B, max_length] of the best beam, scores [B]).
 
@@ -173,9 +174,39 @@ def beam_search_ids(
         )
         return carry, (new_word, src_beam)
 
-    (h, c, word, scores, finished, lengths), (words_tm, srcs_tm) = jax.lax.scan(
-        body, (h0, c0, word0, scores0, finished0, lengths0), None, length=max_length
-    )
+    carry0 = (h0, c0, word0, scores0, finished0, lengths0)
+    if early_stop:
+        # Early exit once every beam of every row is finished. The history
+        # buffers are pre-filled with the post-finish steady state — <pad>
+        # words and identity back-pointers — which is exactly what the scan
+        # body produces after all-finished (beams are score-sorted by top_k,
+        # so the all-pad candidate set re-selects them in order), so the
+        # truncated run backtracks to identical sequences.
+        words_buf0 = jnp.full((max_length, B, W), padding_idx, jnp.int32)
+        srcs_buf0 = jnp.tile(jnp.arange(W)[None, None, :], (max_length, B, 1))
+
+        def w_cond(state):
+            t, carry, _wb, _sb = state
+            return (t < max_length) & ~jnp.all(carry[4])
+
+        def w_body(state):
+            t, carry, wb, sb = state
+            carry, (new_word, src_beam) = body(carry, None)
+            wb = jax.lax.dynamic_update_slice(wb, new_word[None], (t, 0, 0))
+            sb = jax.lax.dynamic_update_slice(
+                sb, src_beam.astype(sb.dtype)[None], (t, 0, 0)
+            )
+            return t + 1, carry, wb, sb
+
+        _t, (h, c, word, scores, finished, lengths), words_tm, srcs_tm = (
+            jax.lax.while_loop(
+                w_cond, w_body, (jnp.int32(0), carry0, words_buf0, srcs_buf0)
+            )
+        )
+    else:
+        (h, c, word, scores, finished, lengths), (words_tm, srcs_tm) = jax.lax.scan(
+            body, carry0, None, length=max_length
+        )
 
     # Backtrack: follow src_beam pointers from the final beams to step 0.
     def back(beam_ptr, step):
@@ -220,4 +251,5 @@ def beam_decode(params, state, images, opts, beam_size: int = 4,
         opts.parity_mode,
         opts.dtype,
         use_pallas=opts.use_pallas,
+        early_stop=opts.early_stop_decode,
     )

@@ -62,7 +62,7 @@ class CaptionService:
         self.max_wait = max_wait_ms / 1000.0
         self.params, self.state, _bcfg, self.opts, self.decode = load_bundle(
             cfg, bundle, beam_size, quantize,
-            early_stop=early_stop and not beam_size,
+            early_stop=early_stop,
         )
         self.index_word = DataReader(cfg).index_word
         self.shape = tuple(cfg.data.image_shape)

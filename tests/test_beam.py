@@ -79,3 +79,32 @@ def test_finished_beams_pad(setup):
                 assert tok == 0, row
             if tok == 3:
                 seen_stop = True
+
+
+def test_beam_early_stop_matches_fixed_scan():
+    """early_stop while_loop beam == fixed-length scan beam, id-for-id, on a
+    model biased to finish early (stop logit boosted)."""
+    import jax
+
+    params = decoder_mod.init(jax.random.PRNGKey(3), DIMS)
+    params = dict(params)
+    params["out_bias"] = params["out_bias"].at[3].add(3.0)  # finish in a few steps
+    rng = np.random.RandomState(3)
+    B, k, H = 5, 4, DIMS.hidden_dim
+    img_embed = jnp.asarray(rng.rand(B, k, H), jnp.float32)
+    global_feat = jnp.asarray(rng.rand(B, H), jnp.float32)
+    pre = decoder_mod.precompute(params, img_embed, global_feat, jnp.float32)
+
+    kw = dict(max_length=9, beam_size=3, start_idx=2, stop_idx=3,
+              padding_idx=0, compute_dtype=jnp.float32)
+    ids_scan, sc_scan = beam_mod.beam_search_ids(params, pre, **kw)
+    ids_es, sc_es = beam_mod.beam_search_ids(params, pre, early_stop=True, **kw)
+    np.testing.assert_array_equal(np.asarray(ids_es), np.asarray(ids_scan))
+    np.testing.assert_allclose(np.asarray(sc_es), np.asarray(sc_scan), rtol=1e-6)
+
+    # and on a model that never stops (worst case: full-length run)
+    params["out_bias"] = params["out_bias"].at[3].add(-100.0)
+    pre = decoder_mod.precompute(params, img_embed, global_feat, jnp.float32)
+    ids_scan, _ = beam_mod.beam_search_ids(params, pre, **kw)
+    ids_es, _ = beam_mod.beam_search_ids(params, pre, early_stop=True, **kw)
+    np.testing.assert_array_equal(np.asarray(ids_es), np.asarray(ids_scan))
