@@ -34,7 +34,8 @@ def synthesize(img_dir: str, n: int, size: int = 512) -> None:
         ).save(os.path.join(img_dir, f"img_{i:05d}.jpg"), quality=90)
 
 
-def run(n_images: int, workers: int) -> dict:
+def run(n_images: int, workers: int, codec: str = "gzip",
+        storage_dtype: str = "float16") -> dict:
     root = tempfile.mkdtemp(prefix="ingest_bench_")
     try:
         img_dir = os.path.join(root, "images")
@@ -47,12 +48,16 @@ def run(n_images: int, workers: int) -> dict:
                     "image_paths": [img_dir],
                     "output_path": out,
                     "num_workers": workers,
+                    "codec": codec,
+                    "storage_dtype": storage_dtype,
                 },
             }
         )
         summary = hdf5_mod.gen_hdf5(cfg, progress_every=0)
         return {
             "workers": workers,
+            "codec": codec,
+            "storage_dtype": storage_dtype,
             "images": summary["images"],
             "images_per_sec": round(summary["images_per_sec"], 1),
             "vs_reference_158": round(summary["images_per_sec"] / 158.0, 2),
@@ -65,9 +70,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=300)
     ap.add_argument("--workers", type=int, nargs="*", default=[0, os.cpu_count() or 1])
+    ap.add_argument("--codec", nargs="*", default=["gzip"])
+    ap.add_argument("--dtype", nargs="*", default=["float16"])
     args = ap.parse_args()
-    for w in args.workers:
-        print(json.dumps(run(args.images, w)))
+    for codec in args.codec:
+        for dtype in args.dtype:
+            for w in args.workers:
+                print(json.dumps(run(args.images, w, codec, dtype)))
 
 
 if __name__ == "__main__":
