@@ -109,3 +109,20 @@ def test_export_beam_and_cli(trained, tmp_path):
     reloaded = jexport.deserialize(out.read_bytes())
     ids = np.asarray(reloaded.call(rng.rand(2, 24, 24, 3).astype(np.float32)))
     assert ids.shape[0] == 2
+
+
+def test_export_quantized_roundtrip(trained):
+    """--quantize bakes the int8-dequantized decoder into the frozen
+    artifact; ids match the live quantized decode."""
+    from jax import export as jexport
+
+    cfg = trained
+    exported = ex.export_decode(cfg, "infer", batch_size=2, quantize=True)
+    reloaded = jexport.deserialize(exported.serialize())
+    rng = np.random.RandomState(5)
+    images = rng.rand(2, 24, 24, 3).astype(np.float32)
+    ids_frozen = np.asarray(reloaded.call(images))
+
+    params, state, _bcfg, _opts, decode = load_bundle(cfg, "infer", quantize=True)
+    ids_live = np.asarray(decode(params, state, images))
+    np.testing.assert_array_equal(ids_frozen, ids_live)

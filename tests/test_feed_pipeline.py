@@ -414,3 +414,41 @@ def test_train_uint8_lzf_end_to_end(corpora):
     result = loop.train(cfg, mesh=None)
     assert np.isfinite(result["last_epoch_loss"])
     assert result["final_step"] >= 1
+
+
+def test_parallel_reader_none_codec(corpora):
+    cfg, _ = corpora["raw"]  # codec="none"
+    mgr = hdf5_mod.Hdf5Manager()
+    mgr.load_database(list(cfg.data.h5_path))
+    mgr.load_name2idx(cfg.data.h5_name2idx)
+    names = sorted(mgr._name2idx)
+    pr = hdf5_mod.ParallelHdf5Reader(
+        list(cfg.data.h5_path), cfg.data.h5_name2idx, threads=2
+    )
+    assert not any(fast for _d, _s, fast in pr._plan)  # no chunk fast path
+    np.testing.assert_array_equal(
+        pr.read_batch(names), np.stack([mgr.read(n) for n in names])
+    )
+    pr.close()
+    mgr.close()
+
+
+def test_evaluate_u8_norm_mismatch_falls_back(corpora, tmp_path):
+    """evaluate() on uint8 shards whose recorded norm disagrees with the
+    bundle's image_norm must host-normalize (raw_ok False) — and still
+    produce metrics without error."""
+    from myimagecaptioningmodel_tpu.evaluation import evaluate as evaluate_mod
+    from myimagecaptioningmodel_tpu.training import loop
+
+    cfg, _ = corpora["u8"]
+    cfg = config_mod.replace_nested(
+        cfg, "train.checkpoint_path", str(tmp_path / "save_mm")
+    )
+    cfg = config_mod.replace_nested(cfg, "log.log_path", str(tmp_path / "log_mm"))
+    cfg = config_mod.replace_nested(cfg, "train.export_infer_model", True)
+    loop.train(cfg, mesh=None, max_steps_per_epoch=1)
+    # drift the config norm: the exported bundle records the drifted values,
+    # so raw feed would mis-normalize -> the guard must reject it
+    drifted = config_mod.replace_nested(cfg, "data.image_mean", (0.0, 0.0, 0.0))
+    res = evaluate_mod.evaluate(drifted, bundle="infer", mode="test")
+    assert "bleu" in res

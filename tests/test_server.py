@@ -111,3 +111,15 @@ def test_http_surface(service):
             assert "error" in json.loads(e.read())
     finally:
         httpd.shutdown()
+
+
+def test_server_beam_mode(service):
+    cfg, _svc, _ = service
+    svc2 = server_mod.CaptionService(cfg, batch_size=2, beam_size=2,
+                                     max_wait_ms=5.0)
+    try:
+        rng = np.random.RandomState(7)
+        out = svc2.caption_bytes(jpeg_bytes(rng))
+        assert out["ids"] and isinstance(out["caption"], str)
+    finally:
+        svc2.close()
