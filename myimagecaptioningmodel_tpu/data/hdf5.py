@@ -237,16 +237,24 @@ class ParallelHdf5Reader:
         return self.read_batch_idx([n2i[n] for n in names])
 
     def close(self) -> None:
+        if getattr(self, "_closed", False):
+            return
+        self._closed = True
         # wait: in-flight read tasks must not see files closed under them
         self._pool.shutdown(wait=True)
         self._mgr.close()
 
     def __del__(self) -> None:
-        # guard: load_database may have raised before _pool was assigned
-        if getattr(self, "_pool", None) is not None:
-            self.close()
-        elif getattr(self, "_mgr", None) is not None:
-            self._mgr.close()
+        try:
+            # guard: load_database may have raised before _pool was
+            # assigned, and interpreter teardown can half-dismantle the
+            # pool/threading machinery under us
+            if getattr(self, "_pool", None) is not None:
+                self.close()
+            elif getattr(self, "_mgr", None) is not None:
+                self._mgr.close()
+        except Exception:
+            pass
 
 
 class DbBuilder:
