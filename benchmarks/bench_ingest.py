@@ -35,13 +35,14 @@ def synthesize(img_dir: str, n: int, size: int = 512) -> None:
 
 
 def run(n_images: int, workers: int, codec: str = "gzip",
-        storage_dtype: str = "float16") -> dict:
+        storage_dtype: str = "float16", img_dir: str | None = None) -> dict:
     root = tempfile.mkdtemp(prefix="ingest_bench_")
     try:
-        img_dir = os.path.join(root, "images")
         out = os.path.join(root, "out")
-        os.makedirs(img_dir)
-        synthesize(img_dir, n_images)
+        if img_dir is None:  # corpus is deterministic; callers may share one
+            img_dir = os.path.join(root, "images")
+            os.makedirs(img_dir)
+            synthesize(img_dir, n_images)
         cfg = config_mod.Config.from_dict(
             {
                 "build_dataset": {
@@ -73,10 +74,17 @@ def main() -> None:
     ap.add_argument("--codec", nargs="*", default=["gzip"])
     ap.add_argument("--dtype", nargs="*", default=["float16"])
     args = ap.parse_args()
-    for codec in args.codec:
-        for dtype in args.dtype:
-            for w in args.workers:
-                print(json.dumps(run(args.images, w, codec, dtype)))
+    shared = tempfile.mkdtemp(prefix="ingest_corpus_")
+    try:
+        synthesize(shared, args.images)
+        for codec in args.codec:
+            for dtype in args.dtype:
+                for w in args.workers:
+                    print(json.dumps(
+                        run(args.images, w, codec, dtype, img_dir=shared)
+                    ))
+    finally:
+        shutil.rmtree(shared, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -83,6 +83,17 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
             # rows. Decode is batch-parallel with zero collectives.
             from jax.sharding import PartitionSpec as P
 
+            n_shards = mesh.shape[mesh_mod.DATA_AXIS]
+            per_shard = cfg.train.batch_size // max(n_shards, 1)
+            if per_shard < 8 or per_shard % 8:
+                import warnings
+
+                warnings.warn(
+                    f"per-shard batch {per_shard} misses the fused-kernel "
+                    "gate (needs a multiple of 8, >= 8); multi-chip decode "
+                    "will run the unfused XLA path per shard",
+                    stacklevel=2,
+                )
             decode = jax.jit(
                 jax.shard_map(
                     decode_fn,

@@ -77,16 +77,19 @@ class CaptionService:
     # -- request path -------------------------------------------------------
 
     def prepare(self, data: bytes) -> np.ndarray:
-        """image bytes -> normalized [H, W, 3] float32 (NHWC row)."""
+        """image bytes -> normalized [H, W, 3] float32 (NHWC row).
+
+        Raises ValueError for undecodable bytes (mapped to HTTP 400)."""
         from PIL import Image
 
-        img = Image.open(io.BytesIO(data)).convert("RGB")
+        try:
+            img = Image.open(io.BytesIO(data)).convert("RGB")
+        except Exception as e:
+            raise ValueError(f"cannot decode image: {e}") from e
         arr = image_mod.process_image(
             img, self.shape, self.cfg.data.image_mean, self.cfg.data.image_std
         )
-        if arr is None:
-            raise ValueError("not a 3-channel image")
-        return np.ascontiguousarray(arr.transpose(1, 2, 0))  # CHW -> HWC
+        return image_mod.chw_to_nhwc(arr[None])[0]
 
     def caption_bytes(self, data: bytes, timeout: float = 60.0) -> dict:
         req = _Request(self.prepare(data))
@@ -112,6 +115,15 @@ class CaptionService:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
+        # fail-fast any requests still queued instead of letting their
+        # callers block out the full wait timeout
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            r.error = "server shutting down"
+            r.event.set()
 
     # -- batcher ------------------------------------------------------------
 
@@ -173,16 +185,29 @@ def make_server(service: CaptionService, port: int = 8765,
             else:
                 self._send(404, {"error": "unknown path"})
 
+        MAX_BODY = 32 * 1024 * 1024  # images only; reject absurd bodies
+
         def do_POST(self):
             if self.path != "/caption":
                 self._send(404, {"error": "unknown path"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._send(400, {"error": "bad Content-Length"})
+                return
+            if n <= 0 or n > self.MAX_BODY:
+                self._send(413, {"error": f"body must be 1..{self.MAX_BODY} bytes"})
+                return
+            try:
                 data = self.rfile.read(n)
                 self._send(200, service.caption_bytes(data))
-            except Exception as e:
-                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            except ValueError as e:  # undecodable image = client error
+                self._send(400, {"error": str(e)})
+            except TimeoutError:
+                self._send(503, {"error": "decode queue timeout"})
+            except Exception as e:  # device/internal failure
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)
 

@@ -49,8 +49,7 @@ def test_export_greedy_roundtrip(trained):
     reloaded = jexport.deserialize(data)
     ids_frozen = np.asarray(reloaded.call(images))
 
-    _p, _s, _b, _o, decode = load_bundle(cfg, "infer")
-    params, state, _bcfg, opts, _ = load_bundle(cfg, "infer")
+    params, state, _bcfg, _opts, decode = load_bundle(cfg, "infer")
     ids_live = np.asarray(decode(params, state, images))
     np.testing.assert_array_equal(ids_frozen, ids_live)
 
