@@ -123,3 +123,32 @@ def test_server_beam_mode(service):
         assert out["ids"] and isinstance(out["caption"], str)
     finally:
         svc2.close()
+
+
+def test_http_body_cap(service):
+    _cfg, svc, _ = service
+    httpd = server_mod.make_server(svc, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        # oversized Content-Length is rejected before reading the body
+        conn.putrequest("POST", "/caption")
+        conn.putheader("Content-Length", str(64 * 1024 * 1024))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert "error" in json.loads(resp.read())
+        conn.close()
+
+        # zero-length body also rejected
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/caption", body=b"")
+        resp = conn.getresponse()
+        assert resp.status == 413
+        conn.close()
+    finally:
+        httpd.shutdown()
