@@ -68,6 +68,12 @@ class CaptionService:
         self.shape = tuple(cfg.data.image_shape)
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
+        # serving counters (read by /healthz): guarded by _stats_lock
+        self._stats_lock = threading.Lock()
+        self._served = 0
+        self._dispatches = 0
+        self._batch_fill = 0
+        self._lat_ms: List[float] = []  # rolling decode latencies
         self._thread = threading.Thread(
             target=self._batcher, daemon=True, name="caption-batcher"
         )
@@ -112,6 +118,21 @@ class CaptionService:
         x = np.zeros((B, *self.shape, 3), np.float32)
         jax.block_until_ready(self.decode(self.params, self.state, x))
 
+    def stats(self) -> dict:
+        """Serving counters: totals, mean batch fill, decode latency p50/p90."""
+        with self._stats_lock:
+            lat = sorted(self._lat_ms)
+            d = max(self._dispatches, 1)
+            return {
+                "served": self._served,
+                "dispatches": self._dispatches,
+                "mean_batch_fill": round(self._batch_fill / d, 2),
+                "decode_ms_p50": round(lat[len(lat) // 2], 2) if lat else None,
+                "decode_ms_p90": (
+                    round(lat[int(len(lat) * 0.9)], 2) if lat else None
+                ),
+            }
+
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
@@ -146,6 +167,7 @@ class CaptionService:
                 except queue.Empty:
                     break
             try:
+                t0 = time.monotonic()
                 imgs = np.zeros(
                     (self.batch_size, *self.shape, 3), np.float32
                 )
@@ -154,6 +176,12 @@ class CaptionService:
                 ids = np.asarray(self.decode(self.params, self.state, imgs))
                 for i, r in enumerate(batch):
                     r.ids = [int(v) for v in ids[i]]
+                with self._stats_lock:
+                    self._served += len(batch)
+                    self._dispatches += 1
+                    self._batch_fill += len(batch)
+                    self._lat_ms.append((time.monotonic() - t0) * 1000.0)
+                    del self._lat_ms[:-512]  # rolling window
             except Exception as e:  # surface decode errors to every waiter
                 for r in batch:
                     r.error = f"{type(e).__name__}: {e}"
@@ -181,6 +209,7 @@ def make_server(service: CaptionService, port: int = 8765,
                     "status": "ok",
                     "batch": service.batch_size,
                     "max_wait_ms": service.max_wait * 1000.0,
+                    **service.stats(),
                 })
             else:
                 self._send(404, {"error": "unknown path"})

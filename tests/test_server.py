@@ -88,6 +88,8 @@ def test_http_surface(service):
         ) as r:
             health = json.loads(r.read())
         assert health["status"] == "ok" and health["batch"] == 4
+        assert health["served"] >= 1 and health["dispatches"] >= 1
+        assert health["decode_ms_p50"] is None or health["decode_ms_p50"] > 0
 
         rng = np.random.RandomState(2)
         req = urllib.request.Request(
