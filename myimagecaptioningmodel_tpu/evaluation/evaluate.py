@@ -63,6 +63,16 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
 
         params = dict(params)
         params["decoder"] = quantize_decoder(params["decoder"])
+    data_only_mesh = True
+    if mesh is not None:
+        from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
+
+        data_only_mesh = mesh.shape.get(mesh_mod.MODEL_AXIS, 1) == 1
+        if not data_only_mesh:
+            # Model-parallel mesh: GSPMD path below; Pallas kernels are not
+            # annotated for the SPMD partitioner, use the XLA decode
+            opts = opts._replace(use_pallas=False)
+
     if beam_size and beam_size > 1:
         from myimagecaptioningmodel_tpu.inference.beam import beam_decode
 
@@ -73,9 +83,7 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
         decode_fn = lambda p, s, imgs: captioner.greedy_decode(p, s, imgs, opts)
 
     if mesh is not None:
-        from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
-
-        if mesh.shape.get(mesh_mod.MODEL_AXIS, 1) == 1:
+        if data_only_mesh:
             # Data-only mesh: run the WHOLE decode per shard via shard_map —
             # each chip executes the full program (including the fused
             # Pallas kernels, which the SPMD partitioner can't split but a
@@ -105,10 +113,8 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
             )
         else:
             # Model-parallel mesh (e.g. vocab-TP): params are sharded, so
-            # fall back to GSPMD; Pallas kernels are not annotated for the
-            # SPMD partitioner and would at best replicate — use the XLA
-            # path. Per-chip batches still saturate the chips.
-            opts = opts._replace(use_pallas=False)
+            # fall back to GSPMD (use_pallas already off above). Per-chip
+            # batches still saturate the chips.
             repl = mesh_mod.replicated(mesh)
             batch = mesh_mod.batch_sharding(mesh)
             decode = jax.jit(
