@@ -84,7 +84,12 @@ def test_train_loop_on_8_device_mesh(tmp_path):
     # multi-chip evaluation (SURVEY config #5): batch sharded over the mesh
     from myimagecaptioningmodel_tpu.evaluation import evaluate as evaluate_mod
 
-    res_dp = evaluate_mod.evaluate(cfg, bundle="infer", mode="test", mesh=mesh)
+    # tiny per-shard batch intentionally misses the fused-kernel gate —
+    # the loader must say so (and still produce identical metrics)
+    with pytest.warns(UserWarning, match="fused-kernel gate"):
+        res_dp = evaluate_mod.evaluate(
+            cfg, bundle="infer", mode="test", mesh=mesh
+        )
     res_1d = evaluate_mod.evaluate(cfg, bundle="infer", mode="test")
     assert res_dp["bleu"] == pytest.approx(res_1d["bleu"], abs=1e-6)
     assert res_dp["cider"] == pytest.approx(res_1d["cider"], abs=1e-6)
