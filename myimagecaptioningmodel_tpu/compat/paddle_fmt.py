@@ -156,13 +156,28 @@ def write_lod_tensor(path: str, arr: np.ndarray) -> None:
         f.write(arr.tobytes())
 
 
-def read_persistables_dir(dirname: str) -> Dict[str, np.ndarray]:
-    """Load every regular file in a ``save_persistables`` directory."""
+def read_persistables_dir(
+    dirname: str, skipped: "list | None" = None
+) -> Dict[str, np.ndarray]:
+    """Load every parseable LoDTensor file in a ``save_persistables`` dir.
+
+    Files that are not LoDTensors — a ``__model__`` program desc from
+    ``save_inference_model``, stray metadata — are skipped (collected into
+    ``skipped`` when given) rather than aborting the whole import."""
     out: Dict[str, np.ndarray] = {}
     for name in sorted(os.listdir(dirname)):
         path = os.path.join(dirname, name)
-        if os.path.isfile(path):
+        if not os.path.isfile(path):
+            continue
+        if name == "__model__":  # program desc, never a tensor
+            if skipped is not None:
+                skipped.append(name)
+            continue
+        try:
             out[name] = read_lod_tensor(path)
+        except (ValueError, struct.error, IndexError):
+            if skipped is not None:
+                skipped.append(name)
     return out
 
 

@@ -245,8 +245,12 @@ def import_persistables(
 
     if params is None or state is None:
         params, state = captioner.init(jax.random.PRNGKey(0), opts)
-    variables = paddle_fmt.read_persistables_dir(dirname)
+    skipped: list = []
+    variables = paddle_fmt.read_persistables_dir(dirname, skipped=skipped)
+    if strict and skipped:
+        raise ValueError(f"strict import failed: unparseable files {skipped[:8]}")
     report = graft(variables, params, state, strict=strict)
+    report.unknown.extend(f"{name} (unparseable file)" for name in skipped)
     return params, state, report
 
 

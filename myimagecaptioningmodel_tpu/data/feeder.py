@@ -94,23 +94,49 @@ class PrefetchingFeeder:
 
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.capacity)
+        stop = threading.Event()
         batch_size: Optional[int] = None
+
+        def blocking_put(item) -> bool:
+            """q.put that stays responsive to shutdown: a consumer that
+            breaks mid-epoch would otherwise leave the worker blocked on a
+            full bounded queue forever (round-2 leak)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker() -> None:
             nonlocal batch_size
+            it = None
             try:
-                for samples in self.reader():
+                it = self.reader()
+                for samples in it:
+                    if stop.is_set():
+                        break
                     if batch_size is None:
                         batch_size = self._batch_len(samples)
                     if self.drop_remainder and self._batch_len(samples) != batch_size:
                         continue
-                    q.put(self._assemble(samples))
+                    if not blocking_put(self._assemble(samples)):
+                        return
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                blocking_put(e)
                 return
-            q.put(_STOP)
+            finally:
+                # run the reader generator's own cleanup (threaded readers
+                # close their Hdf5 pools in a finally) deterministically,
+                # not at GC
+                close = getattr(it, "close", None)
+                if close is not None:
+                    close()
+            blocking_put(_STOP)
 
         t = threading.Thread(target=worker, daemon=True, name="feeder")
+        self._active = (t, stop, q)
         t.start()
 
         put = None
@@ -123,17 +149,39 @@ class PrefetchingFeeder:
                 put = jax.device_put
 
         pending = None  # one batch in flight on the device (double buffer)
-        while True:
-            item = q.get()
-            if item is _STOP:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            if put is not None:
-                item = put(item)
+        try:
+            while True:
+                item = q.get()
+                if item is _STOP:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                if put is not None:
+                    item = put(item)
+                if pending is not None:
+                    yield pending
+                pending = item
             if pending is not None:
                 yield pending
-            pending = item
-        if pending is not None:
-            yield pending
-        t.join()
+        finally:
+            # normal exhaustion, consumer break (GeneratorExit), or error:
+            # always release the worker and its reader resources
+            self._shutdown(t, stop, q)
+
+    @staticmethod
+    def _shutdown(t: threading.Thread, stop: threading.Event, q: "queue.Queue") -> None:
+        stop.set()
+        while True:  # unblock a worker waiting on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=10)
+
+    def close(self) -> None:
+        """Explicitly stop the most recent iteration's worker (idempotent;
+        the iterator's own ``finally`` normally does this)."""
+        active = getattr(self, "_active", None)
+        if active is not None:
+            self._shutdown(*active)
+            self._active = None

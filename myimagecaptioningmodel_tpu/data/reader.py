@@ -38,6 +38,26 @@ def batched(reader: Callable[[], Iterator], batch_size: int) -> Callable[[], Ite
     return gen
 
 
+def process_slice_batches(items, local_batch: int, index: int, count: int) -> list:
+    """Multi-host feed sharding: the rows of every *global* batch
+    (``local_batch * count`` samples) owned by process ``index``, concatenated
+    in global-batch order.
+
+    Slicing each global batch (rather than block-splitting the epoch) keeps
+    the global sample->step assignment identical to a single-process run, so
+    per-step losses match the single-process DP oracle exactly. Trailing
+    partial global batches are dropped — multi-host training needs every
+    process to contribute a full shard to each step's collective (the
+    single-process loop drops them too via ``drop_remainder``).
+    """
+    gb = local_batch * count
+    out = []
+    for i in range(0, len(items) - gb + 1, gb):
+        start = i + index * local_batch
+        out.extend(items[start : start + local_batch])
+    return out
+
+
 def as_image_batch(batch) -> Tuple[np.ndarray, list]:
     """Normalize an eval reader item -> (imgs [B,C,H,W] float32, refs list).
 

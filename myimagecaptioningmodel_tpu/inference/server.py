@@ -98,8 +98,15 @@ class CaptionService:
         return image_mod.chw_to_nhwc(arr[None])[0]
 
     def caption_bytes(self, data: bytes, timeout: float = 60.0) -> dict:
+        if self._stop.is_set():
+            raise RuntimeError("server shutting down")
         req = _Request(self.prepare(data))
         self._q.put(req)
+        if self._stop.is_set():
+            # close() raced our enqueue: its drain may already have run, so
+            # nothing would ever complete this request — re-drain so it (and
+            # any other racer) fails fast instead of blocking out `timeout`
+            self._drain_queue()
         if not req.event.wait(timeout):
             raise TimeoutError("decode queue timeout")
         if req.error:
@@ -138,6 +145,9 @@ class CaptionService:
         self._thread.join(timeout=5)
         # fail-fast any requests still queued instead of letting their
         # callers block out the full wait timeout
+        self._drain_queue()
+
+    def _drain_queue(self) -> None:
         while True:
             try:
                 r = self._q.get_nowait()

@@ -455,7 +455,9 @@ def greedy_decode_ids(
             return h, c, next_word
 
         if early_stop:
-            ids0 = jnp.zeros((B, max_length), jnp.int32)
+            # pad-fill (not zero-fill) so post-stop positions equal the
+            # fixed-length scan's ids even when padding_idx != 0
+            ids0 = jnp.full((B, max_length), padding_idx, jnp.int32)
             done0 = jnp.zeros((B,), bool)
 
             def f_cond(state):
@@ -512,7 +514,8 @@ def greedy_decode_ids(
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     if early_stop:
-        ids0 = jnp.zeros((B, max_length), jnp.int32)
+        # pad-fill: see the fused branch's ids0 note
+        ids0 = jnp.full((B, max_length), padding_idx, jnp.int32)
         done0 = jnp.zeros((B,), bool)
 
         def w_cond(state):

@@ -33,10 +33,76 @@ import numpy as np
 CKPT_FILE = "state.msgpack"
 META_FILE = "meta.json"
 PARAMS_FILE = "params.msgpack"
+COMMIT_FILE = "COMMITTED"  # written last into .tmp: marks the dir complete
 
 
 def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _commit_swap(tmp: str, directory: str) -> None:
+    """Crash-atomic publish of a fully-written ``tmp`` dir as ``directory``.
+
+    Never leaves a moment without a loadable artifact: the previous version
+    is *renamed aside* (``.old``) rather than deleted before the new one
+    lands, and ``_recover`` can promote either the complete ``.tmp`` or the
+    ``.old`` after a crash at any interleaving point. (The round-2 version
+    did rmtree(directory) → rename(tmp), which had a no-checkpoint window —
+    recurring every N steps under the rolling mid-epoch checkpoint.)
+    """
+    old = directory + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(directory):
+        os.rename(directory, old)
+    os.rename(tmp, directory)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _is_complete(directory: str) -> bool:
+    """A dir is a loadable artifact iff its COMMITTED marker is present
+    (pre-marker checkpoints from older runs: payload + meta both present)."""
+    if os.path.exists(os.path.join(directory, COMMIT_FILE)):
+        return True
+    has_payload = os.path.exists(
+        os.path.join(directory, CKPT_FILE)
+    ) or os.path.exists(os.path.join(directory, PARAMS_FILE))
+    return (
+        has_payload
+        and os.path.exists(os.path.join(directory, META_FILE))
+        and not directory.endswith(".tmp")  # partial writes live under .tmp
+    )
+
+
+def _recover(directory: str) -> None:
+    """Promote a surviving complete ``.tmp``/``.old`` after a crashed swap.
+
+    Cases (crash points inside ``save``/``_commit_swap``):
+    - ``directory`` complete → nothing to do (stray .tmp/.old cleaned).
+    - ``directory`` missing, ``.tmp`` complete (crash between the rename-
+      aside and the publish) → publish the .tmp.
+    - ``directory`` missing, ``.old`` present (crash after rename-aside with
+      an incomplete .tmp) → restore the .old.
+    """
+    tmp, old = directory + ".tmp", directory + ".old"
+    if _is_complete(directory):
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    if os.path.exists(directory):  # incomplete (should not happen): discard
+        shutil.rmtree(directory)
+    tmp_payload = os.path.exists(os.path.join(tmp, CKPT_FILE)) or os.path.exists(
+        os.path.join(tmp, PARAMS_FILE)
+    )
+    if os.path.exists(os.path.join(tmp, COMMIT_FILE)) and tmp_payload:
+        os.rename(tmp, directory)
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if _is_complete(old):
+        os.rename(old, directory)
 
 
 def save_checkpoint(
@@ -46,7 +112,7 @@ def save_checkpoint(
     model_state: Any,
     meta: Dict[str, Any],
 ) -> None:
-    """Atomic full-checkpoint write (tmp dir + rename)."""
+    """Crash-atomic full-checkpoint write (tmp + marker + rename dance)."""
     tmp = directory + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -60,15 +126,16 @@ def save_checkpoint(
         f.write(fser.to_bytes(payload))
     with open(os.path.join(tmp, META_FILE), "w", encoding="utf-8") as f:
         json.dump(meta, f)
-    if os.path.exists(directory):
-        shutil.rmtree(directory)
-    os.replace(tmp, directory)
+    with open(os.path.join(tmp, COMMIT_FILE), "w") as f:
+        f.write("ok")
+    _commit_swap(tmp, directory)
 
 
 def load_checkpoint(
     directory: str, like_params: Any, like_opt_state: Any, like_model_state: Any
 ) -> Tuple[Any, Any, Any, Dict[str, Any]]:
     """Restore a checkpoint into the structure of the provided templates."""
+    _recover(directory)
     template = {
         "params": like_params,
         "opt_state": like_opt_state,
@@ -82,6 +149,7 @@ def load_checkpoint(
 
 
 def checkpoint_exists(directory: str) -> bool:
+    _recover(directory)
     return os.path.exists(os.path.join(directory, CKPT_FILE))
 
 
@@ -138,15 +206,16 @@ def export_inference_bundle(
             src = os.path.join(vocab_src_dir, name)
             if os.path.exists(src):
                 shutil.copy(src, os.path.join(tmp, name))
-    if os.path.exists(directory):
-        shutil.rmtree(directory)
-    os.replace(tmp, directory)
+    with open(os.path.join(tmp, COMMIT_FILE), "w") as f:
+        f.write("ok")
+    _commit_swap(tmp, directory)
 
 
 def load_inference_bundle(directory: str, like_params: Any, like_model_state: Any):
     """-> (params, model_state, cfg). Templates define the pytree structure."""
     from myimagecaptioningmodel_tpu.config import Config
 
+    _recover(directory)
     template = {"params": like_params, "model_state": like_model_state}
     with open(os.path.join(directory, PARAMS_FILE), "rb") as f:
         payload = fser.from_bytes(template, f.read())

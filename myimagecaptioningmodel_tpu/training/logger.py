@@ -20,9 +20,17 @@ from typing import Any, Dict
 
 
 class Logger:
-    def __init__(self, log_path: str, encoder_trainable: bool = True) -> None:
+    def __init__(
+        self, log_path: str, encoder_trainable: bool = True, write: bool = True
+    ) -> None:
+        """``write=False`` (non-main processes in a multi-host run) keeps the
+        full in-memory run state but never touches the filesystem — exactly
+        one process owns ``<log_path>/config``, ``log.txt`` and
+        ``log.jsonl``."""
         self.path = log_path
-        os.makedirs(log_path, exist_ok=True)
+        self.write = write
+        if write:
+            os.makedirs(log_path, exist_ok=True)
         self._conf_path = os.path.join(log_path, "config")
         if not os.path.exists(self._conf_path):
             self._conf: Dict[str, Any] = {
@@ -38,6 +46,8 @@ class Logger:
         self.is_first_init = self.epoch == 1
 
     def _save_conf(self) -> None:
+        if not self.write:
+            return
         with open(self._conf_path, "w", encoding="utf-8") as f:
             f.write(json.dumps(self._conf))
 
@@ -83,11 +93,15 @@ class Logger:
 
     def log(self, content: str, end: str = "\n") -> None:
         print(content, end=end)
+        if not self.write:
+            return
         with open(os.path.join(self.path, "log.txt"), "a", encoding="utf-8") as f:
             f.write(content + end)
 
     def log_scalars(self, event: str, **scalars: Any) -> None:
         """Structured jsonl record (epoch loss, dev BLEU, timings, ...)."""
+        if not self.write:
+            return
         rec = {"time": time.time(), "event": event, **scalars}
         with open(os.path.join(self.path, "log.jsonl"), "a", encoding="utf-8") as f:
             f.write(json.dumps(rec) + "\n")

@@ -182,6 +182,17 @@ def train(
                 f"recorded normalization; using the shard attrs {shard_norm}"
             )
         opts = opts._replace(image_norm=shard_norm)
+        # pin the same normalization into the cfg that save_model exports:
+        # every bundle consumer (evaluate, server, export_stablehlo --dtype
+        # uint8 which FREEZES the norm into the serving program) must see
+        # the normalization actually used in training, not the drifted
+        # config values
+        cfg = config_mod.replace_nested(
+            cfg, "data.image_mean", tuple(float(v) for v in shard_norm[0])
+        )
+        cfg = config_mod.replace_nested(
+            cfg, "data.image_std", tuple(float(v) for v in shard_norm[1])
+        )
 
     if mesh == "auto":
         n = len(jax.devices())
@@ -272,58 +283,64 @@ def train(
             device_convert=cfg.train.device_convert,
         )
         every_n = cfg.train.checkpoint_every_n_steps
-        for imgs, caps in feeder:
-            with timer:
-                params, opt_state, model_state, step, loss, lr = steps.train_step(
-                    params, opt_state, model_state, step, imgs, caps
-                )
-            if prev_loss is not None:
-                lval = float(prev_loss)
-                if np.isnan(lval):
-                    raise FloatingPointError(
-                        f"Epoch:{epoch} Step:{nsteps} loss is NaN"
+        try:
+            for imgs, caps in feeder:
+                with timer:
+                    params, opt_state, model_state, step, loss, lr = steps.train_step(
+                        params, opt_state, model_state, step, imgs, caps
                     )
-                epoch_loss += lval
-            prev_loss = loss
-            nsteps += 1
-            executed += 1
-            if every_n and nsteps % every_n == 0:
-                # Validate the EXACT state being saved before overwriting the
-                # only rolling checkpoint. The loss alone is not enough: it
-                # is computed from the step's *incoming* params, so a finite
-                # loss can coexist with a NaN/Inf *post-update* params tree
-                # (NaN gradients, optimizer overflow) — checkpointing that
-                # would atomically replace the last good state with poisoned
-                # params and resume would restart from them.
-                lval = float(loss)
-                if np.isnan(lval) or not bool(_all_finite(params)):
-                    raise FloatingPointError(
-                        f"Epoch:{epoch} Step:{nsteps} loss or updated params "
-                        "are NaN/Inf; refusing to overwrite the checkpoint"
+                if prev_loss is not None:
+                    lval = float(prev_loss)
+                    if np.isnan(lval):
+                        raise FloatingPointError(
+                            f"Epoch:{epoch} Step:{nsteps} loss is NaN"
+                        )
+                    epoch_loss += lval
+                prev_loss = loss
+                nsteps += 1
+                executed += 1
+                if every_n and nsteps % every_n == 0:
+                    # Validate the EXACT state being saved before overwriting the
+                    # only rolling checkpoint. The loss alone is not enough: it
+                    # is computed from the step's *incoming* params, so a finite
+                    # loss can coexist with a NaN/Inf *post-update* params tree
+                    # (NaN gradients, optimizer overflow) — checkpointing that
+                    # would atomically replace the last good state with poisoned
+                    # params and resume would restart from them.
+                    lval = float(loss)
+                    if np.isnan(lval) or not bool(_all_finite(params)):
+                        raise FloatingPointError(
+                            f"Epoch:{epoch} Step:{nsteps} loss or updated params "
+                            "are NaN/Inf; refusing to overwrite the checkpoint"
+                        )
+                    ckpt.save_checkpoint(
+                        ckpt_dir, params, opt_state, model_state,
+                        {
+                            "next_epoch": epoch,
+                            "step": int(step),
+                            "mid_epoch_batches": nsteps,
+                            "best_bleu": logger.best_bleu,
+                            "best_meteor": logger.best_meteor,
+                            "train_encoder": logger.train_encoder,
+                        },
                     )
-                ckpt.save_checkpoint(
-                    ckpt_dir, params, opt_state, model_state,
-                    {
-                        "next_epoch": epoch,
-                        "step": int(step),
-                        "mid_epoch_batches": nsteps,
-                        "best_bleu": logger.best_bleu,
-                        "best_meteor": logger.best_meteor,
-                        "train_encoder": logger.train_encoder,
-                    },
-                )
-            if fault_injection_step is not None and int(step) >= fault_injection_step:
-                raise RuntimeError(
-                    f"fault injection at global step {int(step)}"
-                )
-            if nsteps % cfg.train.log_every_n_step == 0:
-                lval = float(loss)  # sync point, every N steps only
-                logger.log(
-                    f"    Step {nsteps} Mean loss: {epoch_loss / max(executed - 1, 1):6f} "
-                    f"Step loss: {lval:6f}, lr: {float(lr)}"
-                )
-            if max_steps_per_epoch and nsteps >= max_steps_per_epoch:
-                break
+                if fault_injection_step is not None and int(step) >= fault_injection_step:
+                    raise RuntimeError(
+                        f"fault injection at global step {int(step)}"
+                    )
+                if nsteps % cfg.train.log_every_n_step == 0:
+                    lval = float(loss)  # sync point, every N steps only
+                    # epoch_loss holds steps 1..executed-1 (one-step-delayed NaN
+                    # fold); adding the current step's loss makes this the true
+                    # mean over all `executed` steps (reference train.py:145-148)
+                    logger.log(
+                        f"    Step {nsteps} Mean loss: {(epoch_loss + lval) / executed:6f} "
+                        f"Step loss: {lval:6f}, lr: {float(lr)}"
+                    )
+                if max_steps_per_epoch and nsteps >= max_steps_per_epoch:
+                    break
+        finally:
+            feeder.close()
         if prev_loss is not None:
             lval = float(prev_loss)
             if np.isnan(lval):

@@ -56,6 +56,94 @@ def test_checkpoint_overwrite_atomic(tmp_path):
                                   np.asarray(params2["encoder"]["w"]))
 
 
+def _crash_states(tmp_path):
+    """Build the on-disk states left by a crash at each point inside
+    save_checkpoint's commit dance, from a real prior checkpoint v1 and an
+    in-flight v2 write. Returns (dir, make_state) where make_state(point)
+    re-creates the post-crash filesystem."""
+    import shutil
+
+    d = str(tmp_path / "checkpoint")
+    stash = str(tmp_path / "stash")
+
+    def save(seed, epoch):
+        ckpt.save_checkpoint(
+            d, tiny_tree(seed), {}, {}, {"next_epoch": epoch, "step": epoch}
+        )
+
+    # v1 committed, then capture a complete v2 .tmp by copying a committed v2
+    save(5, 2)
+    os.rename(d, stash + "_v1")
+    save(6, 3)
+    os.rename(d, stash + "_v2")
+
+    def make_state(point):
+        for p in (d, d + ".tmp", d + ".old"):
+            shutil.rmtree(p, ignore_errors=True)
+        if point == "tmp_incomplete":  # crash mid-payload-write
+            shutil.copytree(stash + "_v1", d)
+            shutil.copytree(stash + "_v2", d + ".tmp")
+            os.remove(os.path.join(d + ".tmp", ckpt.COMMIT_FILE))
+        elif point == "after_aside":  # v1 renamed aside, v2 tmp complete
+            shutil.copytree(stash + "_v1", d + ".old")
+            shutil.copytree(stash + "_v2", d + ".tmp")
+        elif point == "aside_tmp_incomplete":  # aside done, tmp partial
+            shutil.copytree(stash + "_v1", d + ".old")
+            shutil.copytree(stash + "_v2", d + ".tmp")
+            os.remove(os.path.join(d + ".tmp", ckpt.CKPT_FILE))
+        elif point == "after_publish":  # v2 live, old not yet removed
+            shutil.copytree(stash + "_v1", d + ".old")
+            shutil.copytree(stash + "_v2", d)
+        else:
+            raise AssertionError(point)
+
+    return d, make_state
+
+
+@pytest.mark.parametrize(
+    "point,expect_epoch",
+    [
+        ("tmp_incomplete", 2),       # keep v1, discard the partial tmp
+        ("after_aside", 3),          # promote the complete v2 tmp
+        ("aside_tmp_incomplete", 2), # restore v1 from .old
+        ("after_publish", 3),        # v2 already live; clean .old
+    ],
+)
+def test_checkpoint_crash_recovery(tmp_path, point, expect_epoch):
+    """A crash at ANY point inside the commit dance leaves a loadable
+    checkpoint (round-2 had an rmtree→rename no-checkpoint window)."""
+    d, make_state = _crash_states(tmp_path)
+    make_state(point)
+    assert ckpt.checkpoint_exists(d)
+    p, _, _, m = ckpt.load_checkpoint(d, tiny_tree(1), {}, {})
+    assert m["next_epoch"] == expect_epoch
+    want = tiny_tree(5 if expect_epoch == 2 else 6)
+    np.testing.assert_array_equal(
+        np.asarray(p["encoder"]["w"]), np.asarray(want["encoder"]["w"])
+    )
+    # recovery cleaned up the debris and the next save works normally
+    assert not os.path.exists(d + ".tmp") and not os.path.exists(d + ".old")
+    ckpt.save_checkpoint(d, tiny_tree(7), {}, {}, {"next_epoch": 9, "step": 9})
+    _, _, _, m2 = ckpt.load_checkpoint(d, tiny_tree(1), {}, {})
+    assert m2["next_epoch"] == 9
+
+
+def test_bundle_crash_recovery(tmp_path):
+    """export_inference_bundle uses the same commit dance."""
+    import shutil
+
+    cfg = config_mod.Config()
+    d = str(tmp_path / "infer")
+    ckpt.export_inference_bundle(d, tiny_tree(0), {}, cfg)
+    # simulate a crash between rename-aside and publish of a newer export
+    os.rename(d, d + ".old")
+    shutil.copytree(d + ".old", d + ".tmp")
+    p, _, cfg2 = ckpt.load_inference_bundle(d, tiny_tree(1), {})
+    np.testing.assert_array_equal(
+        np.asarray(p["encoder"]["w"]), np.asarray(tiny_tree(0)["encoder"]["w"])
+    )
+
+
 def test_graft_subtree(tmp_path):
     pretrained = tiny_tree(7)
     path = str(tmp_path / "enc.msgpack")

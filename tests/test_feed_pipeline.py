@@ -294,6 +294,7 @@ def test_train_uint8_norm_provenance(corpora, tmp_path):
     losses = {}
     for dc in (False, True):
         run = config_mod.replace_nested(cfg, "train.device_convert", dc)
+        run = config_mod.replace_nested(run, "train.export_infer_model", True)
         run = config_mod.replace_nested(
             run, "train.checkpoint_path", str(tmp_path / f"save_np{int(dc)}")
         )
@@ -308,6 +309,14 @@ def test_train_uint8_norm_provenance(corpora, tmp_path):
         ]
         log_text = (tmp_path / f"log_np{int(dc)}" / "log.txt").read_text()
         assert "recorded normalization" in log_text  # provenance warning fired
+        # the exported bundle must record the normalization actually used in
+        # training (the shard attrs), NOT the drifted config values — a
+        # frozen uint8 serving export bakes this into the program
+        bundle_cfg = config_mod.Config.from_json_file(
+            os.path.join(run.train.checkpoint_path, "infer", "config.json")
+        )
+        np.testing.assert_allclose(bundle_cfg.data.image_mean, (0.4, 0.5, 0.6))
+        np.testing.assert_allclose(bundle_cfg.data.image_std, (0.2, 0.25, 0.3))
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
 
 

@@ -140,6 +140,88 @@ def test_feeder_propagates_worker_errors():
         list(feeder)
 
 
+def test_early_stop_pads_with_padding_idx():
+    """Post-stop positions of the early-stop decode hold ``padding_idx`` —
+    including positions never written because the while_loop exited early —
+    for any padding_idx, not just 0."""
+    from myimagecaptioningmodel_tpu.models import decoder as decoder_mod
+    from myimagecaptioningmodel_tpu.models.decoder import DecoderDims
+
+    dims = DecoderDims(vocab_size=12, embedding_size=8, hidden_dim=16,
+                       feat_channels=8)
+    params = decoder_mod.init(jax.random.PRNGKey(2), dims)
+    rng = np.random.RandomState(2)
+    pre = decoder_mod.precompute(
+        params,
+        jnp.asarray(rng.randn(1, 4, 16), jnp.float32),
+        jnp.asarray(rng.randn(1, 16), jnp.float32),
+        jnp.float32,
+    )
+    first = int(
+        np.asarray(
+            decoder_mod.greedy_decode_ids(params, pre, 8, compute_dtype=jnp.float32)
+        )[0, 0]
+    )
+    ids = np.asarray(
+        decoder_mod.greedy_decode_ids(
+            params, pre, 8, compute_dtype=jnp.float32,
+            early_stop=True, stop_idx=first, padding_idx=5,
+        )
+    )
+    np.testing.assert_array_equal(ids[0], [first] + [5] * 7)
+
+
+def test_feeder_early_break_releases_worker_and_reader():
+    """A consumer that breaks mid-epoch (max_steps_per_epoch) must not leave
+    the worker thread blocked on the bounded queue, and the reader
+    generator's own cleanup (finally) must run (round-2 leak, VERDICT #3)."""
+    import threading
+    import time
+
+    from myimagecaptioningmodel_tpu.data.feeder import PrefetchingFeeder
+
+    closed = threading.Event()
+
+    def reader():
+        try:
+            for _ in range(1000):  # far more than capacity: worker WILL block
+                yield [(np.zeros((3, 4, 4), np.float32), np.zeros(5, np.int64))]
+        finally:
+            closed.set()
+
+    feeder = PrefetchingFeeder(
+        lambda: reader(), capacity=2, drop_remainder=False, device_put=False
+    )
+    for i, _batch in enumerate(feeder):
+        if i == 1:
+            break
+    feeder.close()
+    assert closed.wait(5), "reader generator finally never ran"
+    deadline = time.time() + 5
+    while any(t.name == "feeder" and t.is_alive() for t in threading.enumerate()):
+        assert time.time() < deadline, "feeder worker thread still alive"
+        time.sleep(0.01)
+
+
+def test_feeder_exhaustion_still_clean():
+    import threading
+
+    from myimagecaptioningmodel_tpu.data.feeder import PrefetchingFeeder
+
+    def reader():
+        for _ in range(5):
+            yield [(np.zeros((3, 4, 4), np.float32), np.zeros(5, np.int64))]
+
+    feeder = PrefetchingFeeder(
+        lambda: reader(), capacity=2, drop_remainder=False, device_put=False
+    )
+    assert len(list(feeder)) == 5
+    feeder.close()
+    assert not any(
+        t.name == "feeder" and t.is_alive() for t in threading.enumerate()
+    )
+
+
 def test_lstm_cell_standalone():
     from myimagecaptioningmodel_tpu.ops.lstm import init_lstm, lstm_cell
 

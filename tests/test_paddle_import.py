@@ -14,6 +14,8 @@ end-to-end test feeds both sides the same encoder output.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -61,6 +63,22 @@ def test_persistables_dir_round_trip(tmp_path):
     assert set(out) == set(tensors)
     for k in tensors:
         np.testing.assert_array_equal(out[k], tensors[k])
+
+
+def test_persistables_dir_skips_non_tensor_files(tmp_path):
+    """A __model__ program desc (save_inference_model dirs) or stray
+    metadata must be skipped and reported, not abort the import."""
+    d = str(tmp_path / "ckpt")
+    tensors = {"word_embedding": np.ones((4, 3), np.float32)}
+    paddle_fmt.write_persistables_dir(d, tensors)
+    with open(os.path.join(d, "__model__"), "wb") as f:
+        f.write(b"\x01\x02 program desc bytes, not a LoDTensor")
+    with open(os.path.join(d, "notes.txt"), "wb") as f:
+        f.write(b"experiment notes")
+    skipped = []
+    out = paddle_fmt.read_persistables_dir(d, skipped=skipped)
+    assert set(out) == {"word_embedding"}
+    assert sorted(skipped) == ["__model__", "notes.txt"]
 
 
 # ------------------------------------------------------- layout conversions ----

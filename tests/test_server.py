@@ -154,3 +154,21 @@ def test_http_body_cap(service):
         conn.close()
     finally:
         httpd.shutdown()
+
+
+def test_caption_after_close_fails_fast(service):
+    """A request issued during/after shutdown must fail immediately, not
+    block out the full wait timeout (round-2 race: enqueue after close's
+    drain left the caller waiting 60 s)."""
+    import time
+
+    cfg, _svc, _img_dir = service
+    svc2 = server_mod.CaptionService(cfg, batch_size=2, max_wait_ms=1.0)
+    rng = np.random.RandomState(7)
+    data = jpeg_bytes(rng)
+    assert "caption" in svc2.caption_bytes(data)
+    svc2.close()
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        svc2.caption_bytes(data, timeout=30.0)
+    assert time.monotonic() - t0 < 5.0
