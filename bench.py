@@ -236,6 +236,49 @@ def main() -> None:
         dt = time.time() - t0
         extra["train_images_per_sec"] = round(BATCH * n / dt, 1)
         log(f"train: {BATCH * n / dt:.1f} images/s ({dt / n * 1000:.1f} ms/step)")
+
+        # Sustained device train throughput: K full steps (fwd+bwd+psum-free
+        # Adam) inside ONE dispatch via lax.scan, mirroring the decode
+        # sustained measurement — excludes the dev-tunnel RPC per-call cost
+        # so the number reflects the chip, not the transport (VERDICT r2 #2).
+        from functools import partial
+
+        from myimagecaptioningmodel_tpu.models import captioner as cap_mod
+
+        train_iters = 8
+
+        def one_step(carry, k):
+            p, o, s, st = carry
+
+            def lf(pp):
+                return cap_mod.loss_fn(
+                    pp, s, images + k.astype(jnp.float32) * 1e-6, caps, opts, True
+                )
+
+            (loss_k, ns), grads = jax.value_and_grad(lf, has_aux=True)(p)
+            upd, no = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, upd), no, ns, st + 1), loss_k
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_k(carry):
+            return jax.lax.scan(one_step, carry, jnp.arange(train_iters))
+
+        carry = (params, opt_state, state, step)
+        carry, losses = train_k(carry)  # compile + first run
+        jax.block_until_ready(losses)
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            carry, losses = train_k(carry)
+        jax.block_until_ready(losses)
+        dt = (time.time() - t0) / reps
+        cps = BATCH * train_iters / dt
+        extra["train_images_per_sec_sustained"] = round(cps, 1)
+        log(
+            f"train, sustained (in-graph {train_iters}-step scan): "
+            f"{cps:.1f} images/s ({dt / train_iters * 1000:.1f} ms/step; "
+            f"per-call gap = transport/dispatch overhead)"
+        )
     except Exception as e:  # diagnostics must never break the benchmark line
         log(f"train-step diagnostic failed: {type(e).__name__}: {e}")
 

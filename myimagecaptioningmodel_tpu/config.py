@@ -112,6 +112,14 @@ class TrainConfig:
     # collapses to stack+DMA (benchmarks/feed_roofline.md). False restores
     # the host-side native converter path.
     device_convert: bool = True
+    # rebuild-only (the reference is DP-only, SURVEY §2.5): size of the
+    # tensor-parallel `model` mesh axis. >1 shards the tied vocab-head
+    # tensors (embedding table [V,E], output bias [V]) over the vocab
+    # dimension (parallel/mesh.param_shardings) and GSPMD partitions the
+    # tied-head matmul / CE logsumexp / decode argmax accordingly. Requires
+    # device_count % model_parallel == 0 and the padded vocab divisible by
+    # it (set model.decoder.vocab_pad_multiple to a multiple).
+    model_parallel: int = 1
 
 
 @dataclass(frozen=True)

@@ -41,6 +41,7 @@ class PrefetchingFeeder:
         sharding=None,
         image_norm: Optional[Tuple] = None,
         device_convert: bool = False,
+        process_local: bool = False,
     ) -> None:
         self.reader = reader
         self.capacity = max(2, capacity)
@@ -57,6 +58,12 @@ class PrefetchingFeeder:
         # stack + DMA only, and H2D traffic drops 4x (f16) / 8x (uint8) vs
         # converted float32
         self.device_convert = device_convert
+        # process_local=True (multi-host DP): each batch from the reader is
+        # this PROCESS's shard of the global batch (reader process_shard);
+        # assemble the global jax.Array from per-process local data without
+        # any cross-host data movement (the global batch never exists on one
+        # host). Requires `sharding` (the global batch NamedSharding).
+        self.process_local = process_local
 
     @staticmethod
     def _batch_len(item) -> int:
@@ -143,7 +150,20 @@ class PrefetchingFeeder:
         if self.device_put:
             import jax
 
-            if self.sharding is not None:
+            if self.process_local:
+                if self.sharding is None:
+                    raise ValueError("process_local feed requires a sharding")
+                nproc = jax.process_count()
+
+                def put(b):
+                    return tuple(
+                        jax.make_array_from_process_local_data(
+                            self.sharding, a, (a.shape[0] * nproc, *a.shape[1:])
+                        )
+                        for a in b
+                    )
+
+            elif self.sharding is not None:
                 put = lambda b: jax.device_put(b, self.sharding)
             else:
                 put = jax.device_put

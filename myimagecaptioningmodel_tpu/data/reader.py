@@ -141,6 +141,7 @@ class DataReader:
         shuffle_seed: Optional[int] = None,
         skip_samples: int = 0,
         reader_threads: int = 0,
+        process_shard: Optional[Tuple[int, int]] = None,
     ) -> Callable[[], Iterator[List[Sample]]]:
         """``keep_float16=True`` yields raw shard rows (float16 or uint8 —
         half/quarter the host memory traffic); the feeder's native converter
@@ -159,9 +160,19 @@ class DataReader:
         through ``ParallelHdf5Reader`` and yields pre-stacked ``(imgs,
         caps)`` / ``(imgs, [refs...])`` tuples — same contents and order as
         the serial per-sample stream, but gzip inflate runs in a thread pool
-        that scales with host cores."""
+        that scales with host cores.
+
+        ``process_shard=(index, count)`` (multi-host training): treat
+        ``batch_size`` as this process's LOCAL batch; read only this
+        process's rows of each global batch of ``batch_size * count``
+        samples (see ``process_slice_batches``). Applied after shuffle and
+        ``skip_samples`` (both of which act on the GLOBAL sample order, so
+        every process must pass identical seed/skip values)."""
         if self._hdf5 is None:
             self.init_hdf5()
+
+        if process_shard is not None and not batch_size:
+            raise ValueError("process_shard requires batch_size")
 
         mean, std = self.storage_norm
 
@@ -176,7 +187,7 @@ class DataReader:
         if reader_threads and batch_size:
             return self._get_batch_reader(
                 batch_size, mode, keep_float16, shuffle_seed, skip_samples,
-                reader_threads, finalize,
+                reader_threads, finalize, process_shard,
             )
 
         if keep_float16:
@@ -186,13 +197,17 @@ class DataReader:
             def h5_read(name: str) -> np.ndarray:
                 return finalize(self._hdf5.read(name))
 
-        return self._get_reader(h5_read, batch_size, mode, shuffle_seed, skip_samples)
+        return self._get_reader(
+            h5_read, batch_size, mode, shuffle_seed, skip_samples, process_shard
+        )
 
     def _load_split(
         self,
         mode: str,
         shuffle_seed: Optional[int],
         skip_samples: int,
+        process_shard: Optional[Tuple[int, int]] = None,
+        local_batch: Optional[int] = None,
     ):
         """Load one split's caption DB — the single source of ordering,
         shuffle, and resume-skip semantics for BOTH the serial and threaded
@@ -214,7 +229,17 @@ class DataReader:
                 captions = [captions[i] for i in order]
             if skip_samples:
                 captions = captions[skip_samples:]
+            if process_shard is not None:
+                index, count = process_shard
+                captions = process_slice_batches(
+                    list(captions), local_batch, index, count
+                )
             return captions
+        if process_shard is not None:
+            raise ValueError(
+                "process_shard is train-only; multi-host dev/test eval reads "
+                "the global stream on every process and scores its own slice"
+            )
         fname = "dev_data.npy" if mode == "dev" else "eval_data.npy"
         return np.load(os.path.join(dict_path, fname), allow_pickle=True)
 
@@ -227,6 +252,7 @@ class DataReader:
         skip_samples: int,
         reader_threads: int,
         finalize: Callable[[np.ndarray], np.ndarray],
+        process_shard: Optional[Tuple[int, int]] = None,
     ) -> Callable[[], Iterator]:
         """Batch-granular reader over ParallelHdf5Reader (see get_reader).
 
@@ -235,7 +261,9 @@ class DataReader:
         or is dropped (finally), so epoch loops don't accumulate pools."""
         from myimagecaptioningmodel_tpu.data.hdf5 import ParallelHdf5Reader
 
-        split = self._load_split(mode, shuffle_seed, skip_samples)
+        split = self._load_split(
+            mode, shuffle_seed, skip_samples, process_shard, batch_size
+        )
 
         def open_reader() -> ParallelHdf5Reader:
             return ParallelHdf5Reader(
@@ -286,8 +314,11 @@ class DataReader:
         mode: str = "train",
         shuffle_seed: Optional[int] = None,
         skip_samples: int = 0,
+        process_shard: Optional[Tuple[int, int]] = None,
     ) -> Callable[[], Iterator]:
-        split = self._load_split(mode, shuffle_seed, skip_samples)
+        split = self._load_split(
+            mode, shuffle_seed, skip_samples, process_shard, batch_size
+        )
 
         if mode == "train":
             captions = split

@@ -140,6 +140,26 @@ def calc_bleu(
     word list. Predictions that detokenize to <=1 word are skipped but still
     count in the denominator (reference evaluate.py:34-39).
     """
+    total, rows = calc_bleu_rows(
+        pred, real, index_word, weights, stop_idx, padding_idx
+    )
+    return total / rows
+
+
+def calc_bleu_rows(
+    pred,
+    real: Sequence[Sequence[Sequence[str]]],
+    index_word: Dict[int, str],
+    weights: Sequence[float] = (0.25, 0.25, 0.25, 0.25),
+    stop_idx: int = STOP_ID,
+    padding_idx: int = PAD_ID,
+) -> "tuple[float, int]":
+    """Decomposable form of ``calc_bleu``: (sum of per-row BLEU, row count).
+
+    ``calc_bleu == sum / rows`` exactly — multi-host eval scores each
+    process's slice of a batch with this and reduces the sums across
+    processes, so the combined number is bit-equal to a single process
+    scoring the whole batch."""
     if isinstance(pred, np.ndarray):
         if np.issubdtype(pred.dtype, np.floating):
             pred = np.rint(pred).astype(np.int32)
@@ -150,7 +170,7 @@ def calc_bleu(
         if len(words) <= 1:
             continue
         total += sentence_bleu(refs, words, weights)
-    return total / len(pred)
+    return total, len(pred)
 
 
 BLEU_WEIGHT_VECTORS = (

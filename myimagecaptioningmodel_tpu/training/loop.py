@@ -37,6 +37,7 @@ from myimagecaptioningmodel_tpu.data.reader import DataReader
 from myimagecaptioningmodel_tpu.evaluation import metrics
 from myimagecaptioningmodel_tpu.models import captioner
 from myimagecaptioningmodel_tpu.models.captioner import ModelOptions
+from myimagecaptioningmodel_tpu.parallel import distributed
 from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
 from myimagecaptioningmodel_tpu.parallel.train_step import build_steps, make_optimizer
 from myimagecaptioningmodel_tpu.training import checkpoint as ckpt
@@ -57,23 +58,42 @@ def _all_finite(tree) -> jnp.ndarray:
 
 
 def _dev_eval(decode_fn, params, model_state, reader_gen, index_word, batch_size,
-              stop_idx, padding_idx):
+              stop_idx, padding_idx, multihost=None):
     """Per-epoch dev greedy decode + BLEU + distinct sentences
     (reference train.py:152-167). Pads the final partial batch to keep one
     compiled decode executable; metrics only see the real rows.
 
     The loop is software-pipelined: the device decodes batch i+1 while the
-    host scores batch i (host-side BLEU is the eval hot loop, SURVEY §7)."""
+    host scores batch i (host-side BLEU is the eval hot loop, SURVEY §7).
+
+    ``multihost=(proc_idx, n_proc, batch_sharding)``: every process streams
+    the SAME global dev batches (dev is ~5% of the data, so duplicate host
+    reads are cheap and keep ordering trivially identical), feeds its own
+    slice to the globally-sharded decode, scores only the rows it owns via
+    the decomposable ``calc_bleu_rows``, and the per-row sums / sentence
+    sets are reduced across processes at the end — bit-equal to the
+    single-process number."""
     bleu_total, batches = 0.0, 0
     sentences = set()
+    if multihost is not None:
+        proc_idx, n_proc, batch_sharding = multihost
+        lb = batch_size // n_proc
 
     def score(ids_dev, refs, n):
         nonlocal bleu_total, batches
-        ids = np.asarray(jax.device_get(ids_dev))[:n]
-        bleu_total += metrics.calc_bleu(
-            ids, refs, index_word, stop_idx=stop_idx, padding_idx=padding_idx
-        )
         batches += 1
+        if multihost is None:
+            ids = np.asarray(jax.device_get(ids_dev))[:n]
+            refs_here = refs
+        else:
+            lo, hi = proc_idx * lb, min(n, (proc_idx + 1) * lb)
+            valid = max(0, hi - lo)
+            ids = distributed.local_rows(ids_dev)[:valid]
+            refs_here = refs[lo:hi]
+        row_sum, _rows = metrics.calc_bleu_rows(
+            ids, refs_here, index_word, stop_idx=stop_idx, padding_idx=padding_idx
+        )
+        bleu_total += row_sum / n
         for row in ids.tolist():
             sentences.add(
                 metrics.words2sentence(
@@ -91,15 +111,25 @@ def _dev_eval(decode_fn, params, model_state, reader_gen, index_word, batch_size
         if n < batch_size:
             pad = np.zeros((batch_size - n, *imgs.shape[1:]), imgs.dtype)
             imgs = np.concatenate([imgs, pad])
+        if multihost is not None:
+            local = imgs[proc_idx * lb : (proc_idx + 1) * lb]
+            imgs = jax.make_array_from_process_local_data(
+                batch_sharding, local, (batch_size, *local.shape[1:])
+            )
         ids_dev = decode_fn(params, model_state, imgs)  # async dispatch
         if pending is not None:
             score(*pending)
         pending = (ids_dev, refs, n)
     if pending is not None:
         score(*pending)
+    if multihost is not None:
+        bleu_total = float(distributed.sum_across_processes([bleu_total])[0])
+        distinct = distributed.global_distinct_count(sentences)
+    else:
+        distinct = len(sentences)
     if batches == 0:
         return 0.0, 0
-    return bleu_total / batches, len(sentences)
+    return bleu_total / batches, distinct
 
 
 def save_model(
@@ -151,8 +181,22 @@ def train(
 ) -> dict:
     """Run training to ``max_epoch``; returns a summary dict.
 
-    ``mesh='auto'`` builds a data-parallel mesh over all visible devices when
-    the batch divides evenly; pass an explicit Mesh, or None for single-device.
+    ``mesh='auto'`` builds a mesh over all visible devices when the batch
+    divides evenly — data-parallel by default, (data, model) when
+    ``cfg.train.model_parallel > 1`` (vocab-TP). Pass an explicit Mesh, or
+    None for single-device.
+
+    **Multi-host**: when ``jax.distributed`` is initialized with more than
+    one process (parallel/distributed.initialize on every host before
+    calling this), the same call becomes a multi-host data-parallel run:
+    ``cfg.train.batch_size`` stays the GLOBAL batch, each process reads only
+    its rows of every global batch (reader ``process_shard``), the global
+    batch array is assembled from process-local data (no cross-host feed
+    traffic), gradient psum rides ICI/DCN via GSPMD, only process 0 writes
+    checkpoints/exports/logs, and dev-eval metrics are reduced across
+    processes (bit-equal to the single-process numbers). Requires a shared
+    filesystem for checkpoint/resume, and per-step losses match the
+    single-process DP run exactly (tests/test_multihost.py).
 
     ``fault_injection_step`` (testing, SURVEY §5.3: the reference has no
     fault injection) raises RuntimeError after that many global steps —
@@ -162,7 +206,16 @@ def train(
 
     cfg = cfg or config_mod.default
     opts = ModelOptions.from_config(cfg)
-    logger = Logger(cfg.log.log_path, opts.encoder_trainable)
+    if mesh == "auto":
+        mp = max(1, int(cfg.train.model_parallel))
+        if mp > 1 and len(jax.devices()) % mp != 0:
+            raise ValueError(
+                f"model_parallel={mp} does not divide the "
+                f"{len(jax.devices())} devices"
+            )
+    n_proc = jax.process_count()
+    is_main = distributed.is_main_process()
+    logger = Logger(cfg.log.log_path, opts.encoder_trainable, write=is_main)
     data_reader = DataReader(cfg)
 
     data_reader.init_hdf5()
@@ -196,21 +249,56 @@ def train(
 
     if mesh == "auto":
         n = len(jax.devices())
+        mp = max(1, int(cfg.train.model_parallel))
+        data_size = n // mp
         mesh = (
-            mesh_mod.make_mesh()
-            if n > 1 and cfg.train.batch_size % n == 0
+            mesh_mod.make_mesh(model_parallel=mp)
+            if n > 1 and cfg.train.batch_size % data_size == 0
             else None
+        )
+    if n_proc > 1 and mesh is None:
+        raise ValueError(
+            "multi-process training requires a device mesh spanning all "
+            "processes (is the global batch divisible by the device count?)"
+        )
+    multihost = n_proc > 1 and mesh is not None
+    if multihost and cfg.train.batch_size % n_proc != 0:
+        raise ValueError(
+            f"global batch {cfg.train.batch_size} must divide evenly over "
+            f"{n_proc} processes"
         )
 
     schedule = lr_schedules.from_config(cfg)
     optimizer = make_optimizer(cfg, schedule)
-    steps = build_steps(opts, optimizer, schedule, mesh)
 
     seed = cfg.train.seed
     params, model_state = captioner.init(jax.random.PRNGKey(seed or 0), opts)
     opt_state = optimizer.init(params)
     step = jnp.zeros((), jnp.int32)
     start_epoch = 1
+
+    # vocab-TP shardings (model axis > 1): embedding table / out bias split
+    # over the vocab dim, their Adam moments matched by tree path
+    p_sh = o_sh = None
+    if mesh is not None and mesh.shape.get(mesh_mod.MODEL_AXIS, 1) > 1:
+        if multihost:
+            raise NotImplementedError(
+                "vocab-TP + multi-host in one run is not supported: "
+                "checkpoint writes fetch TP-sharded params, which are not "
+                "process-addressable (use TP within a host, DP across)"
+            )
+        mp = mesh.shape[mesh_mod.MODEL_AXIS]
+        p_sh = mesh_mod.param_shardings(mesh, params)
+        o_sh = mesh_mod.opt_state_shardings(mesh, opt_state, params, p_sh)
+        vocab_rows = params["decoder"]["embedding"]["table"].shape[0]
+        if vocab_rows % mp != 0:
+            raise ValueError(
+                f"padded vocab {vocab_rows} not divisible by model_parallel="
+                f"{mp}; set model.decoder.vocab_pad_multiple to a multiple"
+            )
+    steps = build_steps(
+        opts, optimizer, schedule, mesh, params_sharding=p_sh, opt_sharding=o_sh
+    )
 
     resume_skip_batches = 0  # mid-epoch resume fast-forward
     ckpt_dir = os.path.join(cfg.train.checkpoint_path, "checkpoint")
@@ -242,14 +330,24 @@ def train(
             )
             logger.log("Loaded pretrained MobileNetV2 encoder")
 
-    if mesh is not None:  # replicate once so donation doesn't re-transfer
+    if mesh is not None:  # place once so donation doesn't re-transfer
         repl = mesh_mod.replicated(mesh)
-        params, opt_state, model_state, step = jax.device_put(
-            (params, opt_state, model_state, step), repl
-        )
+        if multihost:
+            # device_put can't target non-addressable devices; assemble the
+            # global (replicated) arrays from each process's host copy
+            params = distributed.put_tree(params, repl)
+            opt_state = distributed.put_tree(opt_state, repl)
+            model_state = distributed.put_tree(model_state, repl)
+            step = distributed.put_tree(step, repl)
+        else:
+            params = jax.device_put(params, p_sh if p_sh is not None else repl)
+            opt_state = jax.device_put(opt_state, o_sh if o_sh is not None else repl)
+            model_state, step = jax.device_put((model_state, step), repl)
 
     batch_size = cfg.train.batch_size
     batch_sharding = mesh_mod.batch_sharding(mesh) if mesh is not None else None
+    proc_idx = jax.process_index()
+    local_batch = batch_size // n_proc  # == batch_size when single-process
     last_bleu = 0.0
     mean_loss = float("nan")  # stays NaN when resume finds nothing to run
 
@@ -271,16 +369,18 @@ def train(
         )
         feeder = PrefetchingFeeder(
             data_reader.get_reader(
-                batch_size, "train", keep_float16=True,
+                local_batch, "train", keep_float16=True,
                 shuffle_seed=shuffle_seed,
-                skip_samples=skip * batch_size,
+                skip_samples=skip * batch_size,  # global-sample skip
                 reader_threads=cfg.train.reader_threads,
+                process_shard=(proc_idx, n_proc) if multihost else None,
             ),
             capacity=cfg.train.data_loader_capacity,
             drop_remainder=True,
             sharding=batch_sharding,
             image_norm=data_reader.storage_norm,
             device_convert=cfg.train.device_convert,
+            process_local=multihost,
         )
         every_n = cfg.train.checkpoint_every_n_steps
         try:
@@ -313,17 +413,18 @@ def train(
                             f"Epoch:{epoch} Step:{nsteps} loss or updated params "
                             "are NaN/Inf; refusing to overwrite the checkpoint"
                         )
-                    ckpt.save_checkpoint(
-                        ckpt_dir, params, opt_state, model_state,
-                        {
-                            "next_epoch": epoch,
-                            "step": int(step),
-                            "mid_epoch_batches": nsteps,
-                            "best_bleu": logger.best_bleu,
-                            "best_meteor": logger.best_meteor,
-                            "train_encoder": logger.train_encoder,
-                        },
-                    )
+                    if is_main:  # one writer on shared storage
+                        ckpt.save_checkpoint(
+                            ckpt_dir, params, opt_state, model_state,
+                            {
+                                "next_epoch": epoch,
+                                "step": int(step),
+                                "mid_epoch_batches": nsteps,
+                                "best_bleu": logger.best_bleu,
+                                "best_meteor": logger.best_meteor,
+                                "train_encoder": logger.train_encoder,
+                            },
+                        )
                 if fault_injection_step is not None and int(step) >= fault_injection_step:
                     raise RuntimeError(
                         f"fault injection at global step {int(step)}"
@@ -364,6 +465,7 @@ def train(
             batch_size,
             cfg.data.stop_idx,
             cfg.data.padding_idx,
+            multihost=(proc_idx, n_proc, batch_sharding) if multihost else None,
         )
         last_bleu = bleu
         logger.log(
@@ -372,7 +474,16 @@ def train(
         )
         logger.log_scalars("dev_bleu", epoch=epoch, bleu=bleu, distinct=distinct)
 
-        save_model(cfg, logger, params, opt_state, model_state, epoch, int(step), bleu)
+        if is_main:  # one writer; every process tracks best_bleu via logger
+            save_model(
+                cfg, logger, params, opt_state, model_state, epoch, int(step), bleu
+            )
+        elif (
+            cfg.train.save_best_bleu_checkpoint
+            and bleu is not None
+            and bleu > logger.best_bleu
+        ):
+            logger.best_bleu = bleu  # in-memory only (write=False)
         logger.log(f"Epoch took {time.time() - begin:2f}s")
 
     return {

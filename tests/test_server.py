@@ -172,3 +172,63 @@ def test_caption_after_close_fails_fast(service):
     with pytest.raises(RuntimeError, match="shutting down"):
         svc2.caption_bytes(data, timeout=30.0)
     assert time.monotonic() - t0 < 5.0
+
+
+def test_concurrency_soak_counters_reconcile(service):
+    """Soak the dynamic batcher: many client threads x mixed-size requests,
+    greedy and early-stop services, asserting no deadlock, correct
+    per-request routing (every thread gets a caption for ITS image), and
+    /healthz counters reconciling with requests served."""
+    import threading as th
+
+    cfg, _svc, _img_dir = service
+    for early_stop in (False, True):
+        svc = server_mod.CaptionService(
+            cfg, batch_size=4, max_wait_ms=2.0, early_stop=early_stop
+        )
+        base = svc.stats()["served"]
+        n_threads, per_thread = 6, 8
+        rng0 = np.random.RandomState(123)
+        # distinct image per (thread, i) so routing mixups are detectable:
+        # decode determinism means identical bytes must yield identical ids
+        payloads = {}
+        for t in range(n_threads):
+            for i in range(per_thread):
+                rng = np.random.RandomState(1000 + t * 100 + i)
+                payloads[(t, i)] = jpeg_bytes(rng, size=int(rng0.choice([24, 40, 64])))
+        expected = {
+            k: svc.caption_bytes(v)["ids"] for k, v in list(payloads.items())[:4]
+        }
+        errors, results = [], {}
+        lock = th.Lock()
+
+        def client(t):
+            try:
+                for i in range(per_thread):
+                    out = svc.caption_bytes(payloads[(t, i)], timeout=120.0)
+                    with lock:
+                        results[(t, i)] = out["ids"]
+            except Exception as e:  # pragma: no cover - failure reporting
+                with lock:
+                    errors.append((t, repr(e)))
+
+        threads = [th.Thread(target=client, args=(t,)) for t in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+            assert not t.is_alive(), "soak client deadlocked"
+        assert not errors, errors
+        assert len(results) == n_threads * per_thread
+        for k, ids in expected.items():  # routing: same bytes -> same ids
+            assert results[k] == ids, k
+        stats = svc.stats()
+        assert stats["served"] - base == n_threads * per_thread + len(expected)
+        # mean fill * dispatches == served (counters internally consistent)
+        assert stats["dispatches"] > 0
+        np.testing.assert_allclose(
+            stats["mean_batch_fill"] * stats["dispatches"],
+            stats["served"],
+            atol=0.01 * stats["dispatches"] + 0.5,  # mean rounded to 2dp
+        )
+        svc.close()

@@ -236,3 +236,49 @@ def test_golden_vocab_stats():
     gold = GOLDEN_STATS["pkuseg"]
     for k, v in gold.items():
         assert summary[k] == v, (k, summary[k], v)
+
+
+def test_vendored_segmenter_fragment_goldens():
+    """Vocab ordering and ``name[:-2]`` token-line parsing locked against a
+    RECORDED segmenter-output fragment vendored into the repo
+    (tests/fixtures/segmenter_token_fragment.txt, reference token-file format
+    dataset_gen.py:35). The authentic pkuseg goldens (12,295 vocab / 8,160
+    unk types, ai_challenge_tokenizer.py:130-131) stay environment-blocked —
+    pkuseg is not installable here (see ROADMAP); this fixture pins the same
+    code paths (count ranking, stable tie order, min-occur cut, train-only
+    counting, shared shuffle stream) against frozen bytes instead."""
+    import random
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "segmenter_token_fragment.txt")
+    train_div = [
+        "6f4922f45568161a8cdf4ad2299f6d23.jpg",
+        "1f0e3dad99908345f7439f8ffabdffc4.jpg",
+        "98f13708210194c475687be6106a3b84.jpg",
+        "3c59dc048e8850243be8079a5c74d079.jpg",
+        "b6d767d2f8ed5d21a44b0e5886680cb9.jpg",
+    ]  # the 6th image (cars) is held out: its exclusive words must not count
+    word_idx, idx_word, stats = tok.build_dict(path, train_div, return_stats=True)
+
+    assert len(word_idx) == 40
+    assert stats == {"unk_word_types": 44}
+    # exact head of the ranking: specials 0-3, then by descending train-split
+    # count with first-seen order among ties
+    assert [idx_word[i] for i in range(20)] == [
+        "<pad>", "<unk>", "<start>", "<stop>",
+        "的", "在", "上", "一个", "里", "女人", "厨师", "男人", "球场",
+        "一只", "猫", "两个", "孩子", "篮球", "窗台", "阳光",
+    ]
+    # held-out-image words are unk (never counted), single-occurrence train
+    # words cut by minimum_occur=2
+    assert "汽车" not in word_idx and "轿车" not in word_idx
+    assert "运动员" not in word_idx  # appears once in the train split
+
+    # tokenize + training DB on the reference's shared shuffle stream
+    rng = random.Random(tok.SHUFFLE_SEED)
+    tokens = tok.tokenize(path, word_idx, rng)
+    db, max_len = tok.build_training_db(word_idx, tokens, train_div, rng=rng)
+    assert len(db) == 25 and max_len == 13
+    name0, ids0 = db[0]
+    assert name0 == "1f0e3dad99908345f7439f8ffabdffc4.jpg"
+    assert list(ids0) == [2, 13, 1, 4, 1, 1, 1, 31, 3, 0, 0, 0, 0]
