@@ -176,3 +176,13 @@ def test_infer_cli_early_stop_identical_caption(corpus_cfg):
     assert r1.returncode == 0 and r2.returncode == 0
     sentence = lambda out: out.strip().split("\n")[-1]
     assert sentence(r1.stdout) == sentence(r2.stdout)
+
+
+def test_train_cli_distributed_flags_exposed():
+    """The multi-host entry point is reachable from the reference-shaped CLI
+    (`python train.py --distributed` on every pod host)."""
+    r = run_cli(["train.py", "--help"])
+    assert r.returncode == 0
+    for flag in ("--distributed", "--coordinator", "--num-processes",
+                 "--process-id"):
+        assert flag in r.stdout
