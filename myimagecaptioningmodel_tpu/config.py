@@ -159,6 +159,12 @@ class ModelConfig:
     parity_mode: bool = False
     # matmul/conv compute dtype; params and accumulations stay float32.
     compute_dtype: str = "bfloat16"
+    # training-only: fold BN batch-stats into the output pass of the
+    # encoder's 1x1 convs via a Pallas matmul+stats kernel
+    # (ops/pallas/matmul_bn.py) — eliminates the separate stats read over
+    # most of the activation footprint. Identical numerics to the unfused
+    # path (tests/test_fused_bn_stats.py).
+    fuse_bn_stats: bool = False
 
 
 @dataclass(frozen=True)

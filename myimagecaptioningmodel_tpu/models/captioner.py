@@ -54,6 +54,9 @@ class ModelOptions(NamedTuple):
     # taps-form depthwise convs (sharding-safe gradients under TP; slower) —
     # flipped automatically by parallel/train_step.py for TP training
     safe_depthwise: bool = False
+    # fold BN batch-stats into the output pass of the encoder's 1x1 convs
+    # (Pallas matmul+stats kernel, ops/pallas/matmul_bn.py) — training only
+    fuse_bn_stats: bool = False
     # lax.while_loop greedy decode that exits once all rows emitted <stop>
     # (identical captions, ~halves average serving latency on trained models)
     early_stop_decode: bool = False
@@ -76,6 +79,7 @@ class ModelOptions(NamedTuple):
             parity_mode=md.parity_mode,
             compute_dtype=md.compute_dtype,
             use_pallas=_on_tpu(),
+            fuse_bn_stats=getattr(md, "fuse_bn_stats", False),
             stop_idx=cfg.data.stop_idx,
             image_norm=(
                 tuple(float(m) for m in cfg.data.image_mean),
@@ -143,6 +147,7 @@ def img2feature(
         trainable=opts.encoder_trainable,
         compute_dtype=dt,
         safe_depthwise=opts.safe_depthwise,
+        fuse_bn_stats=opts.fuse_bn_stats,
     )
     B = feat.shape[0]
     feat = feat.reshape(B, -1, feat.shape[-1])  # [B, 49, 1280] (NHWC flatten)

@@ -48,10 +48,26 @@ def _init_conv_bn(key, in_ch: int, out_ch: int, kernel: int, groups: int = 1):
 def _apply_conv_bn(
     p, s, x, stride: int, padding: int, groups: int, if_act: bool,
     train: bool, compute_dtype, safe_depthwise: bool = False,
+    fuse_bn_stats: bool = False,
 ):
-    x = L.conv2d(p["conv"], x, stride, padding, groups, compute_dtype,
-                 safe_depthwise=safe_depthwise)
-    x, bn_s = L.batch_norm(p["bn"], s["bn"], x, train)
+    w = p["conv"]["w"]
+    if (
+        fuse_bn_stats and train and groups == 1 and stride == 1
+        and padding == 0 and w.shape[0] == 1 and w.shape[1] == 1
+    ):
+        # 1x1 conv == matmul: fold the BN stats read into the conv's output
+        # pass (ops/pallas/matmul_bn.py); EMA update matches L.batch_norm
+        from myimagecaptioningmodel_tpu.ops.pallas import matmul_bn as MB
+
+        x, mean, var = MB.conv1x1_bn_train(p["conv"], p["bn"], x, compute_dtype)
+        bn_s = {
+            "mean": L.BN_MOMENTUM * s["bn"]["mean"] + (1.0 - L.BN_MOMENTUM) * mean,
+            "var": L.BN_MOMENTUM * s["bn"]["var"] + (1.0 - L.BN_MOMENTUM) * var,
+        }
+    else:
+        x = L.conv2d(p["conv"], x, stride, padding, groups, compute_dtype,
+                     safe_depthwise=safe_depthwise)
+        x, bn_s = L.batch_norm(p["bn"], s["bn"], x, train)
     if if_act:
         x = L.relu6(x)
     return x, {"bn": bn_s}
@@ -96,6 +112,7 @@ def apply(
     compute_dtype=jnp.bfloat16,
     use_fused_irb: bool = False,
     safe_depthwise: bool = False,
+    fuse_bn_stats: bool = False,
 ) -> Tuple[jnp.ndarray, State]:
     """Forward pass -> ([B,7,7,1280] features or [B,1280] pooled, new state).
 
@@ -119,7 +136,7 @@ def apply(
     def conv_bn(name, x, stride, padding, groups=1, if_act=True):
         y, s = _apply_conv_bn(
             params[name], state[name], x, stride, padding, groups, if_act,
-            train, compute_dtype, safe_depthwise,
+            train, compute_dtype, safe_depthwise, fuse_bn_stats,
         )
         new_state[name] = s
         return y

@@ -201,8 +201,15 @@ def _bn_train(scale, offset, x):
     return y, mean, var
 
 
+def _stat_dtype(x):
+    """BN statistics dtype: f32, except f64 inputs keep f64 — so float64
+    equivalence tests (fused-vs-unfused, DP-vs-single) are not floored by
+    f32 stats noise amplified through the 53-layer BN chain."""
+    return jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+
+
 def _bn_train_fwd_math(scale, offset, x):
-    x32 = x.astype(jnp.float32)
+    x32 = x.astype(_stat_dtype(x))
     axes = tuple(range(x.ndim - 1))
     # one-pass stats: mean and E[x^2] fuse into a single activation read
     mean = jnp.mean(x32, axes)
@@ -223,8 +230,8 @@ def _bn_train_bwd(res, cts):
     dy, _dmean, _dvar = cts  # moving-stat outputs carry no loss cotangent
     axes = tuple(range(x.ndim - 1))
     n = x.size // x.shape[-1]
-    dy32 = dy.astype(jnp.float32)
-    xhat = (x.astype(jnp.float32) - mean) * inv
+    dy32 = dy.astype(_stat_dtype(x))
+    xhat = (x.astype(_stat_dtype(x)) - mean) * inv
     doffset = jnp.sum(dy32, axes)
     dscale = jnp.sum(dy32 * xhat, axes)
     dx = (scale * inv / n) * (n * dy32 - doffset - xhat * dscale)
