@@ -302,6 +302,15 @@ def train(
 
     resume_skip_batches = 0  # mid-epoch resume fast-forward
     ckpt_dir = os.path.join(cfg.train.checkpoint_path, "checkpoint")
+    if multihost:
+        # crash-debris recovery (checkpoint._recover) mutates shared storage;
+        # run it on process 0 alone, then barrier so the other processes see
+        # a clean checkpoint dir before they look at it
+        if is_main:
+            ckpt.checkpoint_exists(ckpt_dir)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("checkpoint-recovery")
     if ckpt.checkpoint_exists(ckpt_dir):
         params, opt_state, model_state, meta = ckpt.load_checkpoint(
             ckpt_dir, params, opt_state, model_state
