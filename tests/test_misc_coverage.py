@@ -291,3 +291,22 @@ def test_reader_shuffle_and_skip(tmp_path):
     skipped = order(dr._get_reader(proc, None, "train", shuffle_seed=1,
                                    skip_samples=3))
     assert skipped == s1[3:]
+
+
+def test_process_slice_batches():
+    from myimagecaptioningmodel_tpu.data.reader import process_slice_batches
+
+    items = list(range(23))
+    # 2 processes, local batch 4 -> global batches of 8: [0..7], [8..15];
+    # the trailing partial global batch (16..22) is dropped
+    p0 = process_slice_batches(items, 4, 0, 2)
+    p1 = process_slice_batches(items, 4, 1, 2)
+    assert p0 == [0, 1, 2, 3, 8, 9, 10, 11]
+    assert p1 == [4, 5, 6, 7, 12, 13, 14, 15]
+    # interleaving p0/p1 per batch reconstructs the global order exactly
+    merged = []
+    for i in range(0, len(p0), 4):
+        merged += p0[i:i + 4] + p1[i:i + 4]
+    assert merged == items[:16]
+    # single process == identity (minus the remainder)
+    assert process_slice_batches(items, 8, 0, 1) == items[:16]
