@@ -135,10 +135,20 @@ def evaluate(
     shards over the data axis), or "auto" to build one when the batch
     divides the visible devices. ``early_stop``: greedy decode exits once
     every row has emitted <stop> (identical captions, ~2x average latency
-    win on real captions shorter than infer_max_length)."""
+    win on real captions shorter than infer_max_length).
+
+    **Multi-host**: with ``jax.distributed`` initialized and a mesh spanning
+    all processes, the DECODE distributes (each host feeds its slice of
+    every global batch; that is the expensive part) and the decoded id
+    arrays — tiny [B, T] int32s — are allgathered so every host scores the
+    full corpus identically. Scoring is replicated, not sharded, which
+    keeps CIDEr's corpus-global IDF exact and makes every process return
+    the same numbers as a single-process run."""
     from myimagecaptioningmodel_tpu import config as config_mod
+    from myimagecaptioningmodel_tpu.parallel import distributed
 
     cfg = cfg or config_mod.default
+    n_proc = jax.process_count()
     if mesh == "auto":
         from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
 
@@ -148,9 +158,29 @@ def evaluate(
             if n > 1 and cfg.train.batch_size % n == 0
             else None
         )
+    multihost = n_proc > 1 and mesh is not None
+    if n_proc > 1 and mesh is None:
+        raise ValueError(
+            "multi-process evaluate requires a mesh spanning all processes"
+        )
     params, model_state, _bcfg, opts, decode = load_bundle(
         cfg, bundle, beam_size, quantize, early_stop=early_stop, mesh=mesh
     )
+    if multihost:
+        from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
+
+        if cfg.train.batch_size % n_proc:
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} must divide evenly over "
+                f"{n_proc} processes for multi-host evaluate"
+            )
+        repl = mesh_mod.replicated(mesh)
+        batch_sharding = mesh_mod.batch_sharding(mesh)
+        params = distributed.put_tree(params, repl)
+        model_state = distributed.put_tree(model_state, repl)
+        proc_idx = jax.process_index()
+        lb = cfg.train.batch_size // n_proc
+        from jax.experimental import multihost_utils
 
     dr = DataReader(cfg)
     index_word = dr.index_word
@@ -182,7 +212,16 @@ def evaluate(
     # batch i (4x NLTK-style BLEU per batch is the host hot loop)
     def score(ids_dev, refs, n):
         nonlocal batches
-        ids = np.asarray(jax.device_get(ids_dev))[:n]
+        if multihost:
+            # distributed decode -> replicated scoring: gather every host's
+            # slice of the decoded ids (process order == global row order)
+            local = distributed.local_rows(ids_dev)
+            ids = (
+                np.asarray(multihost_utils.process_allgather(local))
+                .reshape(-1, local.shape[-1])[:n]
+            )
+        else:
+            ids = np.asarray(jax.device_get(ids_dev))[:n]
         for i, vec in enumerate(metrics.BLEU_WEIGHT_VECTORS):
             bleu_score[i] += metrics.calc_bleu(
                 ids, refs, index_word, vec,
@@ -205,6 +244,14 @@ def evaluate(
         if n < batch_size:
             pad = np.zeros((batch_size - n, *imgs.shape[1:]), imgs.dtype)
             imgs = np.concatenate([imgs, pad])
+        if multihost:
+            # every process streams the SAME global batches (duplicate host
+            # reads keep ordering trivially identical); each feeds only its
+            # own contiguous slice of the globally-sharded decode input
+            local = imgs[proc_idx * lb : (proc_idx + 1) * lb]
+            imgs = jax.make_array_from_process_local_data(
+                batch_sharding, local, (batch_size, *local.shape[1:])
+            )
         ids_dev = decode(params, model_state, imgs)
         if pending is not None:
             score(*pending)

@@ -87,6 +87,17 @@ TRAIN_WORKER = textwrap.dedent(
     cfg = config_mod.Config.from_json_file(cfg_path)
     res = loop.train(cfg, mesh="auto")
     print("RESULT:" + json.dumps(res), flush=True)
+
+    # multi-host evaluate on the bundle process 0 just exported: decode is
+    # distributed, scoring replicated — every process must report the same
+    # numbers as a single-process run of the same bundle
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("bundle-exported")
+    from myimagecaptioningmodel_tpu.evaluation.evaluate import evaluate
+    ev = evaluate(cfg, mode="test", mesh="auto")
+    print("EVAL:" + json.dumps(
+        {"bleu": ev["bleu"], "cider": ev["cider"],
+         "distinct": ev["distinct_sentences"]}), flush=True)
     """
 )
 
@@ -275,3 +286,20 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
     assert len(_jax.tree_util.tree_leaves(oA)) == len(
         _jax.tree_util.tree_leaves(oB)
     )
+
+    # multi-host evaluate() (run inside the cluster on bundle B) matches a
+    # single-process multi-chip evaluate of the SAME bundle: identical
+    # params -> identical greedy ids -> identical BLEU/CIDEr/distinct
+    evals = []
+    for out_text in outs:
+        for line in out_text.splitlines():
+            if line.startswith("EVAL:"):
+                evals.append(json.loads(line[len("EVAL:"):]))
+    assert len(evals) == 2, "both processes must report evaluate() results"
+    from myimagecaptioningmodel_tpu.evaluation.evaluate import evaluate
+
+    ref = evaluate(cfgB, mode="test", mesh=mesh_mod.make_mesh())
+    for ev in evals:
+        np.testing.assert_allclose(ev["bleu"], ref["bleu"], atol=1e-9)
+        np.testing.assert_allclose(ev["cider"], ref["cider"], atol=1e-9)
+        assert ev["distinct"] == ref["distinct_sentences"]
