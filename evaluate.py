@@ -1,5 +1,11 @@
 #!/usr/bin/env python
-"""Offline BLEU-1..4 evaluation entry point (reference: `python evaluate.py`)."""
+"""Offline BLEU-1..4 evaluation entry point (reference: `python evaluate.py`).
+
+Multi-host (run the same command on every pod host): `--distributed` joins
+the `jax.distributed` cluster first; evaluate() then decodes the host's
+slice of each test batch on its local devices and reduces the scores, so
+every process prints identical BLEU/diversity numbers.
+"""
 
 import argparse
 
@@ -18,7 +24,21 @@ def main() -> None:
         "--early-stop", action="store_true",
         help="greedy decode exits once every row emitted <stop> (same captions)",
     )
+    ap.add_argument(
+        "--distributed", action="store_true",
+        help="join the jax.distributed cluster (multi-host evaluation)",
+    )
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port (default: discover)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
+    if args.distributed:
+        from myimagecaptioningmodel_tpu.parallel import distributed
+
+        distributed.initialize(
+            args.coordinator, args.num_processes, args.process_id
+        )
     cfg = config_mod.Config.from_json_file(args.config) if args.config else config_mod.default
     env.enable_compilation_cache()
     # mesh="auto": on a multi-chip host the decode batch shards over all

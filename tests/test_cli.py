@@ -186,3 +186,13 @@ def test_train_cli_distributed_flags_exposed():
     for flag in ("--distributed", "--coordinator", "--num-processes",
                  "--process-id"):
         assert flag in r.stdout
+
+
+def test_evaluate_cli_distributed_flags_exposed():
+    """Multi-host evaluation is reachable the same way
+    (`python evaluate.py --distributed` on every pod host)."""
+    r = run_cli(["evaluate.py", "--help"])
+    assert r.returncode == 0
+    for flag in ("--distributed", "--coordinator", "--num-processes",
+                 "--process-id"):
+        assert flag in r.stdout
