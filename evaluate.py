@@ -25,6 +25,10 @@ def main() -> None:
         help="greedy decode exits once every row emitted <stop> (same captions)",
     )
     ap.add_argument(
+        "--length-norm", type=float, default=0.0,
+        help="beam only: normalize final scores by len**alpha (0 = off)",
+    )
+    ap.add_argument(
         "--distributed", action="store_true",
         help="join the jax.distributed cluster (multi-host evaluation)",
     )
@@ -47,6 +51,7 @@ def main() -> None:
     evaluate_mod.evaluate(
         cfg, bundle=args.bundle, beam_size=args.beam, quantize=args.quantize,
         early_stop=args.early_stop, mesh="auto",
+        length_norm=args.length_norm,
     )
 
 

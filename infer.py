@@ -18,12 +18,16 @@ def main() -> None:
         "--early-stop", action="store_true",
         help="greedy decode exits once every row emitted <stop> (same caption)",
     )
+    ap.add_argument(
+        "--length-norm", type=float, default=0.0,
+        help="beam only: normalize final scores by len**alpha (0 = off)",
+    )
     args = ap.parse_args()
     cfg = config_mod.Config.from_json_file(args.config) if args.config else config_mod.default
     env.enable_compilation_cache()
     infer_mod.main(
         args.url, cfg, beam_size=args.beam, quantize=args.quantize,
-        early_stop=args.early_stop,
+        early_stop=args.early_stop, length_norm=args.length_norm,
     )
 
 

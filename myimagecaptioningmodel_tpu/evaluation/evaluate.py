@@ -26,14 +26,16 @@ from myimagecaptioningmodel_tpu.training import checkpoint as ckpt
 
 
 def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool = False,
-                early_stop: bool = False, mesh=None):
+                early_stop: bool = False, mesh=None, length_norm: float = 0.0):
     """-> (params, model_state, bundle_cfg, opts, decode_fn).
 
     ``beam_size`` 0/1 -> greedy; >1 -> beam search (north-star addition).
     ``quantize`` stores the decoder weights as int8 (per-channel scales,
     ops/quantization.py): ~4x smaller serving footprint, captions unchanged
     up to quantization noise. ``early_stop`` uses the while_loop greedy
-    decode that exits when every row has emitted <stop>. With a ``mesh``
+    decode that exits when every row has emitted <stop>. ``length_norm``
+    (beam only): GNMT-style final-score normalization by len**alpha —
+    0 keeps the reference-flavored raw sum-log-prob pick. With a ``mesh``
     (SURVEY config #5: multi-chip evaluation), the batch shards over the
     ``data`` axis and params replicate — GSPMD splits the decode."""
     # Model options come from the bundle's OWN recorded config (the bundle is
@@ -77,7 +79,8 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
         from myimagecaptioningmodel_tpu.inference.beam import beam_decode
 
         decode_fn = lambda p, s, imgs: beam_decode(
-            p, s, imgs, opts, beam_size, stop_idx=opts.stop_idx
+            p, s, imgs, opts, beam_size, length_norm=length_norm,
+            stop_idx=opts.stop_idx,
         )[0]
     else:
         decode_fn = lambda p, s, imgs: captioner.greedy_decode(p, s, imgs, opts)
@@ -128,6 +131,7 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
 def evaluate(
     cfg=None, bundle: str = "infer", mode: str = "test", beam_size: int = 0,
     quantize: bool = False, mesh=None, early_stop: bool = False,
+    length_norm: float = 0.0,
 ) -> Dict[str, object]:
     """-> {'bleu': [b1,b2,b3,b4,mean], 'cider': float, 'distinct_sentences': int|None}.
 
@@ -164,7 +168,8 @@ def evaluate(
             "multi-process evaluate requires a mesh spanning all processes"
         )
     params, model_state, _bcfg, opts, decode = load_bundle(
-        cfg, bundle, beam_size, quantize, early_stop=early_stop, mesh=mesh
+        cfg, bundle, beam_size, quantize, early_stop=early_stop, mesh=mesh,
+        length_norm=length_norm,
     )
     if multihost:
         from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod

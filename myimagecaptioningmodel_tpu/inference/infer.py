@@ -36,10 +36,12 @@ def fetch_image(url_or_path: str) -> Image.Image:
 def caption_image(
     cfg, img: Image.Image, bundle: str = "infer", beam_size: int = 0,
     quantize: bool = False, early_stop: bool = False,
+    length_norm: float = 0.0,
 ) -> Tuple[List[int], str]:
     """-> (raw id list, detokenized sentence). ``beam_size>1`` = beam search;
     ``quantize`` = int8 decoder weights; ``early_stop`` = while_loop greedy
-    decode that exits at all-<stop> (same caption, lower latency)."""
+    decode that exits at all-<stop> (same caption, lower latency);
+    ``length_norm`` = GNMT-style beam score normalization by len**alpha."""
     arr = image_mod.process_image(
         img, cfg.data.image_shape, cfg.data.image_mean, cfg.data.image_std
     )
@@ -48,7 +50,8 @@ def caption_image(
     batch = image_mod.chw_to_nhwc(arr[None])
 
     params, model_state, _bcfg, _opts, decode = load_bundle(
-        cfg, bundle, beam_size, quantize, early_stop=early_stop
+        cfg, bundle, beam_size, quantize, early_stop=early_stop,
+        length_norm=length_norm,
     )
 
     from myimagecaptioningmodel_tpu.data.reader import DataReader
@@ -63,14 +66,14 @@ def caption_image(
 
 def main(
     url: str, cfg=None, beam_size: int = 0, quantize: bool = False,
-    early_stop: bool = False,
+    early_stop: bool = False, length_norm: float = 0.0,
 ) -> str:
     from myimagecaptioningmodel_tpu import config as config_mod
 
     cfg = cfg or config_mod.default
     ids, sentence = caption_image(
         cfg, fetch_image(url), beam_size=beam_size, quantize=quantize,
-        early_stop=early_stop,
+        early_stop=early_stop, length_norm=length_norm,
     )
     print(ids)
     print(sentence)

@@ -54,7 +54,8 @@ class CaptionService:
 
     def __init__(self, cfg, bundle: str = "infer", batch_size: int = 8,
                  beam_size: int = 0, quantize: bool = False,
-                 early_stop: bool = False, max_wait_ms: float = 5.0) -> None:
+                 early_stop: bool = False, max_wait_ms: float = 5.0,
+                 length_norm: float = 0.0) -> None:
         from myimagecaptioningmodel_tpu.data.reader import DataReader
 
         self.cfg = cfg
@@ -62,7 +63,7 @@ class CaptionService:
         self.max_wait = max_wait_ms / 1000.0
         self.params, self.state, _bcfg, self.opts, self.decode = load_bundle(
             cfg, bundle, beam_size, quantize,
-            early_stop=early_stop,
+            early_stop=early_stop, length_norm=length_norm,
         )
         self.index_word = DataReader(cfg).index_word
         self.shape = tuple(cfg.data.image_shape)
@@ -266,6 +267,8 @@ def main(argv=None) -> None:
     ap.add_argument("--quantize", action="store_true")
     ap.add_argument("--early-stop", action="store_true")
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--length-norm", type=float, default=0.0,
+                    help="beam only: normalize final scores by len**alpha")
     args = ap.parse_args(argv)
 
     cfg = (
@@ -275,7 +278,7 @@ def main(argv=None) -> None:
     )
     service = CaptionService(
         cfg, args.bundle, args.batch, args.beam, args.quantize,
-        args.early_stop, args.max_wait_ms,
+        args.early_stop, args.max_wait_ms, args.length_norm,
     )
     server = make_server(service, args.port, args.host)
     print(f"caption server on http://{args.host}:{args.port} "

@@ -81,6 +81,66 @@ def test_finished_beams_pad(setup):
                 seen_stop = True
 
 
+def test_length_norm_semantics(monkeypatch):
+    """GNMT-style length normalization: raw sum-log-prob favors the short
+    hypothesis, dividing by len**alpha flips the pick to the longer beam
+    with the better per-token score — on a hand-crafted step distribution
+    (ids: 0 pad, 1 unk, 2 start, 3 stop, 4 'A', 5 'B')."""
+    V, H, B, W, T = 6, 4, 1, 2, 3
+    LO = -20.0
+
+    def crafted_step(params, pre, word, h, c, parity_mode=False,
+                     padding_idx=0, compute_dtype=F32):
+        # from <start>: p(stop)=.6 (short path), p(A)=.39 (long path's 1st)
+        from_start = jnp.full((V,), LO).at[3].set(jnp.log(0.6)).at[4].set(
+            jnp.log(0.39)
+        )
+        # from A: p(stop)~1 after normalization -> long path ~free 2nd step
+        from_a = jnp.full((V,), LO).at[3].set(jnp.log(0.95))
+        other = jnp.full((V,), LO)  # unreached beams
+        logits = jnp.where(
+            (word == 2)[:, None], from_start[None],
+            jnp.where((word == 4)[:, None], from_a[None], other[None]),
+        )
+        return h, c, logits
+
+    monkeypatch.setattr(decoder_mod, "step", crafted_step)
+    params = {
+        "p_hid": {"w": jnp.zeros((H, H), F32), "b": jnp.zeros((H,), F32)},
+        "embedding": {"table": jnp.zeros((V, 8), F32)},
+    }
+    z = jnp.zeros((B, 2, H), F32)
+    pre = decoder_mod.Precomputed(
+        z, z, jnp.zeros((B, H), F32), jnp.zeros((B, 4 * H), F32),
+        jnp.zeros((B, H), F32),
+    )
+
+    def logZ(p):  # crafted rows are unnormalized; mirror log_softmax
+        return np.log(np.sum(p) + (V - len(p)) * np.exp(LO))
+
+    lp_stop = np.log(0.6) - logZ([0.6, 0.39])
+    lp_a = np.log(0.39) - logZ([0.6, 0.39])
+    lp_a_stop = np.log(0.95) - logZ([0.95])
+    short_raw, long_raw = lp_stop, lp_a + lp_a_stop
+    assert short_raw > long_raw and long_raw / 2 > short_raw  # test is rigged
+
+    kw = dict(max_length=T, beam_size=W, compute_dtype=F32)
+    ids, score = beam_mod.beam_search_ids(params, pre, length_norm=0.0, **kw)
+    np.testing.assert_array_equal(np.asarray(ids)[0], [3, 0, 0])
+    np.testing.assert_allclose(float(score[0]), short_raw, rtol=1e-5)
+
+    ids, score = beam_mod.beam_search_ids(params, pre, length_norm=1.0, **kw)
+    np.testing.assert_array_equal(np.asarray(ids)[0], [4, 3, 0])
+    np.testing.assert_allclose(float(score[0]), long_raw / 2, rtol=1e-5)
+
+    # early_stop path applies the same normalization
+    ids_es, score_es = beam_mod.beam_search_ids(
+        params, pre, length_norm=1.0, early_stop=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(ids_es)[0], [4, 3, 0])
+    np.testing.assert_allclose(float(score_es[0]), long_raw / 2, rtol=1e-5)
+
+
 def test_beam_early_stop_matches_fixed_scan():
     """early_stop while_loop beam == fixed-length scan beam, id-for-id, on a
     model biased to finish early (stop logit boosted)."""

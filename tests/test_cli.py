@@ -178,6 +178,21 @@ def test_infer_cli_early_stop_identical_caption(corpus_cfg):
     assert sentence(r1.stdout) == sentence(r2.stdout)
 
 
+def test_infer_cli_beam_length_norm(corpus_cfg):
+    """--beam with --length-norm runs end-to-end through the real CLI (flag
+    parse -> load_bundle -> beam_decode's GNMT length-normalized pick); the
+    pick semantics themselves are pinned in tests/test_beam.py."""
+    root, img_dir, cfg_path, _r = corpus_cfg
+    img = str(img_dir / "img_0.jpg")
+    r = run_cli(["infer.py", img, "--config", cfg_path, "--beam", "2",
+                 "--length-norm", "0.6"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.strip().split("\n") if l]
+    # raw id list first (reference contract); the sentence line may be empty
+    # on this barely-trained model (normalized pick can prefer <stop>-first)
+    assert lines[0].startswith("[")
+
+
 def test_train_cli_distributed_flags_exposed():
     """The multi-host entry point is reachable from the reference-shaped CLI
     (`python train.py --distributed` on every pod host)."""
