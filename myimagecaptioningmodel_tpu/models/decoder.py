@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 
 from myimagecaptioningmodel_tpu.ops import layers as L
-from myimagecaptioningmodel_tpu.ops.attention import adaptive_attention, init_attention
+from myimagecaptioningmodel_tpu.ops.attention import (
+    adaptive_attention,
+    attn_scores_fused_bwd,
+    init_attention,
+)
 from myimagecaptioningmodel_tpu.ops.lstm import init_lstm, lstm_from_gates
 
 Params = Dict[str, Any]
@@ -300,6 +304,7 @@ def teacher_forcing_logits(
     padding_idx: int = 0,
     compute_dtype=jnp.bfloat16,
     remat: bool = True,
+    fused_attn_bwd: bool = False,
 ) -> jnp.ndarray:
     """Training forward: scan the cell over the time axis -> logits [B,T,V].
 
@@ -307,6 +312,14 @@ def teacher_forcing_logits(
     cell instead of storing its per-step intermediates (notably the
     [B,k,H] attention tensors — ~870 MB of residuals per batch-128 step
     otherwise), trading cheap recompute FLOPs for HBM traffic.
+
+    ``fused_attn_bwd``: hand-written one-pass-per-gradient backward for the
+    attention scores (ops/attention.attn_scores_fused_bwd) — same forward
+    bit-for-bit, gradients equal up to reduction order. Measured ~parity
+    with autodiff on-chip (benchmarks/proto_attn_bwd.py: 8.42 vs 8.52 ms
+    decoder fwd+bwd — XLA already duplicates the cheap tanh recompute into
+    both reduction consumers), so the default is OFF and the op is kept for
+    backends where that fusion heuristic differs.
     """
     B, T = source.shape
     H = _dense_in_dim(params["p_hid"])
@@ -367,13 +380,22 @@ def teacher_forcing_logits(
         # forward, but autodiff would SAVE it as the tanh residual;
         # jax.checkpoint recomputes it in the backward from the [B,k,H] +
         # [T,B,H] inputs instead — ~870 MB of HBM traffic avoided per step.
-        def _attn_scores(score_p, img_k, h_emb):
-            z_img = jnp.tanh(img_k[None].astype(dt) + h_emb[:, :, None, :])
-            return L.dense(score_p, z_img, dt)[..., 0]
+        # The checkpointed backward still materializes dz over [T,B,k,H]
+        # (two reductions with different axes consume it); at production
+        # dims the custom-VJP form computes each gradient as its own fused
+        # reduction instead (ops/attention.attn_scores_fused_bwd).
+        if fused_attn_bwd:
+            e_img = attn_scores_fused_bwd(
+                dt, params["attention"]["score"], pre.img_k, hid_emb
+            )
+        else:
+            def _attn_scores(score_p, img_k, h_emb):
+                z_img = jnp.tanh(img_k[None].astype(dt) + h_emb[:, :, None, :])
+                return L.dense(score_p, z_img, dt)[..., 0]
 
-        e_img = jax.checkpoint(_attn_scores)(
-            params["attention"]["score"], pre.img_k, hid_emb
-        )
+            e_img = jax.checkpoint(_attn_scores)(
+                params["attention"]["score"], pre.img_k, hid_emb
+            )
         z_sent = jnp.tanh(sent_key + hid_emb)
         e_sent = L.dense(params["attention"]["score"], z_sent, dt)
         e = jnp.concatenate([e_img, e_sent], axis=-1).astype(jnp.float32)

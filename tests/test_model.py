@@ -324,3 +324,41 @@ def test_bn_custom_vjp_matches_autodiff():
     xb = x.astype(jnp.bfloat16)
     g = jax.grad(lambda x: jnp.sum(L._bn_train(scale, offset, x)[0].astype(jnp.float32)))(xb)
     assert g.dtype == jnp.bfloat16
+
+
+def test_fused_attn_bwd_matches_autodiff():
+    """attn_scores_fused_bwd (opt-in; measured ~parity with autodiff on TPU,
+    benchmarks/proto_attn_bwd.py): forward bit-equal to the checkpointed
+    autodiff path; gradients equal up to reduction order."""
+    from myimagecaptioningmodel_tpu.models import decoder as dec
+
+    H, K, B, T = 640, 16, 4, 7
+    dims = DecoderDims(vocab_size=200, embedding_size=32, hidden_dim=H,
+                       feat_channels=64)
+    params = dec.init(jax.random.PRNGKey(0), dims)
+    rng = np.random.RandomState(0)
+    p_img = jnp.asarray(rng.randn(B, K, H) * 0.1, jnp.float32)
+    gfeat = jnp.asarray(rng.randn(B, H) * 0.1, jnp.float32)
+    src = jnp.asarray(rng.randint(1, 200, (B, T)), jnp.int32)
+
+    def loss(params, fused):
+        pre = dec.precompute(params, p_img, gfeat, jnp.float32)
+        logits = dec.teacher_forcing_logits(
+            params, pre, src, compute_dtype=jnp.float32, fused_attn_bwd=fused
+        )
+        return jnp.mean(logits**2)
+
+    va, ga = jax.value_and_grad(lambda p: loss(p, False))(params)
+    vf, gf = jax.value_and_grad(lambda p: loss(p, True))(params)
+    assert float(va) == float(vf)  # forward is the same expression
+    flat_a = jax.tree_util.tree_leaves_with_path(ga)
+    flat_f = jax.tree_util.tree_leaves(gf)
+    for (path, a), f in zip(flat_a, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(f), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+    # the default path (fused off) produces this same forward
+    v_default = loss(params, False)
+    assert float(v_default) == float(va)
