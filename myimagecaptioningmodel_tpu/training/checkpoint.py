@@ -131,6 +131,56 @@ def save_checkpoint(
     _commit_swap(tmp, directory)
 
 
+class AsyncCheckpointWriter:
+    """Overlap checkpoint serialization/IO with device compute.
+
+    ``save(...)`` snapshots the pytrees to host memory *synchronously*
+    (mandatory for correctness: the training step donates its input buffers,
+    so device values must be fetched before the next step dispatch may reuse
+    them) and hands serialization + the crash-atomic directory swap to a
+    single background thread. At reference scale the host snapshot is a few
+    ms of DMA while msgpack+fsync of the ~56 MB state dominates — that part
+    no longer stalls the train loop (the reference stalls for the whole
+    ``save_persistables``, train.py:73).
+
+    At most one save is in flight; a new ``save`` waits for the previous.
+    ``wait()`` blocks until the pending save lands and re-raises any error —
+    call it before reading the checkpoint back, exporting, or exiting.
+    """
+
+    def __init__(self) -> None:
+        self._thread = None
+        self._error = None
+
+    def save(self, directory: str, params, opt_state, model_state, meta) -> None:
+        self.wait()
+        payload = (
+            _to_host(params), _to_host(opt_state), _to_host(model_state),
+            dict(meta),
+        )
+
+        def work():
+            try:
+                save_checkpoint(directory, *payload)
+            except BaseException as e:  # surfaced at the next wait()
+                self._error = e
+
+        import threading
+
+        self._thread = threading.Thread(
+            target=work, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+
 def load_checkpoint(
     directory: str, like_params: Any, like_opt_state: Any, like_model_state: Any
 ) -> Tuple[Any, Any, Any, Dict[str, Any]]:

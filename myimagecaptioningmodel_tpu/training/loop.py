@@ -354,6 +354,7 @@ def train(
             model_state, step = jax.device_put((model_state, step), repl)
 
     batch_size = cfg.train.batch_size
+    ckpt_writer = ckpt.AsyncCheckpointWriter()  # rolling saves off the hot loop
     batch_sharding = mesh_mod.batch_sharding(mesh) if mesh is not None else None
     proc_idx = jax.process_index()
     local_batch = batch_size // n_proc  # == batch_size when single-process
@@ -423,7 +424,11 @@ def train(
                             "are NaN/Inf; refusing to overwrite the checkpoint"
                         )
                     if is_main:  # one writer on shared storage
-                        ckpt.save_checkpoint(
+                        # async: the host snapshot happens here (donation-
+                        # safe); msgpack + the atomic swap overlap the next
+                        # steps' device work. Any write error surfaces at
+                        # the next save/wait.
+                        ckpt_writer.save(
                             ckpt_dir, params, opt_state, model_state,
                             {
                                 "next_epoch": epoch,
@@ -451,6 +456,9 @@ def train(
                     break
         finally:
             feeder.close()
+            # land any in-flight rolling checkpoint before epoch-end writes
+            # touch the same directory (and before a crash unwinds past it)
+            ckpt_writer.wait()
         if prev_loss is not None:
             lval = float(prev_loss)
             if np.isnan(lval):

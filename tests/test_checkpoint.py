@@ -167,3 +167,38 @@ def test_inference_bundle_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(p["decoder"]["b"]),
                                   np.asarray(params["decoder"]["b"]))
     assert cfg2.model.decoder.vocab_size == cfg.model.decoder.vocab_size
+
+
+def test_async_writer_roundtrip_and_ordering(tmp_path):
+    """AsyncCheckpointWriter: back-to-back saves serialize (at most one in
+    flight), the final state on disk is the LAST save, and the snapshot is
+    donation-safe (mutating the source trees after save() must not affect
+    what lands)."""
+    w = ckpt.AsyncCheckpointWriter()
+    d = str(tmp_path / "checkpoint")
+    opt, state = {"m": jnp.zeros(3)}, {"bn": jnp.ones(2)}
+    for i in range(4):
+        params = tiny_tree(i)
+        w.save(d, params, opt, state, {"next_epoch": i, "step": i * 10})
+    w.wait()
+    w.wait()  # idempotent
+    p, o, s, meta = ckpt.load_checkpoint(d, tiny_tree(9), opt, state)
+    assert meta == {"next_epoch": 3, "step": 30}
+    np.testing.assert_array_equal(np.asarray(p["encoder"]["w"]),
+                                  np.asarray(tiny_tree(3)["encoder"]["w"]))
+
+
+def test_async_writer_surfaces_errors(tmp_path):
+    """A failed background write re-raises at the next wait()/save(), and the
+    writer is reusable afterwards."""
+    w = ckpt.AsyncCheckpointWriter()
+    blocked = tmp_path / "not_a_dir"
+    blocked.write_text("file, not dir")  # makedirs under it will fail
+    w.save(str(blocked / "checkpoint"), tiny_tree(0), {}, {}, {"next_epoch": 1})
+    with pytest.raises(OSError):
+        w.wait()
+    # error is consumed; the writer still works for a good path
+    d = str(tmp_path / "ok")
+    w.save(d, tiny_tree(1), {}, {}, {"next_epoch": 2})
+    w.wait()
+    assert ckpt.checkpoint_exists(d)
