@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Transformer decoder family at production dims on one TPU chip.
+
+Measures the second decoder family (models/transformer.py, vocab 12295 /
+d_model 1024 / 4 layers / 8 heads) with the same sustained in-graph
+methodology as bench.py, for comparison against the LSTM flagship numbers:
+
+- greedy decode captions/s (batch 128, 35 KV-cached steps)
+- beam-4 captions/s (batch 32)
+- sustained train step images/s (in-graph 8-step scan, full fwd+bwd+Adam)
+
+Run: PYTHONPATH=/root/repo python benchmarks/bench_transformer.py
+Diagnostics to stderr; one JSON summary line to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 128
+BEAM_BATCH = 32
+BEAM = 4
+ITERS = 10
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from myimagecaptioningmodel_tpu import config as config_mod
+    from myimagecaptioningmodel_tpu.models import captioner
+    from myimagecaptioningmodel_tpu.models.captioner import ModelOptions
+
+    sys.path.insert(0, "/root/repo")
+    from bench import sustained_captions_per_sec
+
+    log(f"device: {jax.devices()[0]}")
+    cfg = config_mod.replace_nested(
+        config_mod.Config(), "model.decoder.arch", "transformer"
+    )
+    opts = ModelOptions.from_config(cfg)
+    params, state = captioner.init(jax.random.PRNGKey(0), opts)
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params["decoder"])
+    )
+    log(f"transformer decoder params: {n_params/1e6:.1f}M "
+        f"(layers={opts.tdims.num_layers}, heads={opts.tdims.num_heads}, "
+        f"d_model={opts.tdims.model_dim})")
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(BATCH, 224, 224, 3), jnp.float32)
+
+    out = {}
+
+    decode = jax.jit(lambda p, s, x: captioner.greedy_decode(p, s, x, opts))
+    t0 = time.time()
+    ids = jax.block_until_ready(decode(params, state, images))
+    log(f"greedy compile+first run: {time.time()-t0:.1f}s, ids {ids.shape}")
+    cps, pb = sustained_captions_per_sec(
+        lambda p, s, x: captioner.greedy_decode(p, s, x, opts),
+        params, state, images, ITERS,
+    )
+    out["greedy_captions_per_sec"] = round(cps, 1)
+    log(f"greedy decode, sustained: {cps:.1f} captions/s "
+        f"({pb*1000:.1f} ms / batch of {BATCH})")
+
+    try:
+        from myimagecaptioningmodel_tpu.inference.beam import beam_decode
+
+        cps_b, pb_b = sustained_captions_per_sec(
+            lambda p, s, x: beam_decode(p, s, x, opts, BEAM)[0],
+            params, state, images[:BEAM_BATCH], ITERS,
+        )
+        out["beam4_captions_per_sec"] = round(cps_b, 1)
+        log(f"beam-{BEAM}, sustained: {cps_b:.1f} captions/s "
+            f"({pb_b*1000:.1f} ms / batch of {BEAM_BATCH}); "
+            f"{cps/max(cps_b,1e-9):.2f}x per caption vs greedy")
+    except Exception as e:
+        log(f"beam failed: {type(e).__name__}: {e}")
+
+    try:
+        from functools import partial
+
+        optimizer = optax.adam(5e-5)
+        opt_state = optimizer.init(params)
+        caps = jnp.asarray(
+            rng.randint(1, opts.dims.vocab_size, (BATCH, opts.sentence_length)),
+            jnp.int32,
+        )
+        train_iters = 8
+
+        def one_step(carry, k):
+            p, o, s = carry
+
+            def lf(pp):
+                return captioner.loss_fn(
+                    pp, s, images + k.astype(jnp.float32) * 1e-6, caps, opts, True
+                )
+
+            (loss_k, ns), grads = jax.value_and_grad(lf, has_aux=True)(p)
+            upd, no = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, upd), no, ns), loss_k
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_k(carry):
+            return jax.lax.scan(one_step, carry, jnp.arange(train_iters))
+
+        t0 = time.time()
+        carry, losses = train_k((params, opt_state, state))
+        jax.block_until_ready(losses)
+        log(f"train compile+first run: {time.time()-t0:.1f}s, "
+            f"loss={float(losses[-1]):.3f}")
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            carry, losses = train_k(carry)
+            jax.block_until_ready(losses)
+            dt = min(dt, time.time() - t0)
+        ips = BATCH * train_iters / dt
+        out["train_images_per_sec_sustained"] = round(ips, 1)
+        log(f"train, sustained (in-graph {train_iters}-step scan): "
+            f"{ips:.1f} images/s ({dt/train_iters*1000:.1f} ms/step)")
+    except Exception as e:
+        log(f"train failed: {type(e).__name__}: {e}")
+
+    print(json.dumps({"arch": "transformer", **out}))
+
+
+if __name__ == "__main__":
+    main()

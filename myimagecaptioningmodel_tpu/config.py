@@ -133,17 +133,26 @@ class EncoderConfig:
 
 @dataclass(frozen=True)
 class DecoderConfig:
-    """Adaptive-attention LSTM decoder knobs (reference config.py:54-61)."""
+    """Decoder knobs (reference config.py:54-61). The reference has exactly
+    one decoder architecture; ``arch`` selects the rebuild's families."""
 
+    # "lstm" = the reference's adaptive-attention LSTM (models/decoder.py);
+    # "transformer" = pre-LN transformer decoder with cross-attention over
+    # the same encoder features (models/transformer.py, rebuild-only family)
+    arch: str = "lstm"
     vocab_size: int = 12295
     embedding_size: int = 256  # weight tying: output proj is also this size
     sentence_length: int = 35  # training captions incl. <start>/<stop>
-    hidden_dim: int = 1024  # lstm hidden / sentinel size
+    hidden_dim: int = 1024  # lstm hidden / sentinel size; transformer model dim
     infer_max_length: int = 35
     # rebuild-only: embedding/logits rows padded up to a multiple of this
     # (MXU lane alignment + divisibility for vocab tensor parallelism);
     # padded entries get a -1e9 output bias so they can never be decoded.
     vocab_pad_multiple: int = 128
+    # transformer-family knobs (ignored by arch="lstm")
+    num_layers: int = 4
+    num_heads: int = 8
+    mlp_ratio: int = 4
 
 
 @dataclass(frozen=True)

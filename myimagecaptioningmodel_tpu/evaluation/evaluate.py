@@ -61,10 +61,17 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
         directory, like_params, like_state
     )
     if quantize:
-        from myimagecaptioningmodel_tpu.ops.quantization import quantize_decoder
-
         params = dict(params)
-        params["decoder"] = quantize_decoder(params["decoder"])
+        if opts.arch == "transformer":
+            from myimagecaptioningmodel_tpu.models.transformer import (
+                quantize_transformer_decoder,
+            )
+
+            params["decoder"] = quantize_transformer_decoder(params["decoder"])
+        else:
+            from myimagecaptioningmodel_tpu.ops.quantization import quantize_decoder
+
+            params["decoder"] = quantize_decoder(params["decoder"])
     data_only_mesh = True
     if mesh is not None:
         from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod

@@ -232,12 +232,35 @@ def beam_search_ids(
 
 def beam_decode(params, state, images, opts, beam_size: int = 4,
                 length_norm: float = 0.0, stop_idx: int = 3):
-    """Full-model beam decode (encoder + search) -> (ids [B,T], scores [B])."""
+    """Full-model beam decode (encoder + search) -> (ids [B,T], scores [B]).
+
+    Dispatches on the decoder family: the transformer decoder carries its
+    own KV-cached beam search (models/transformer.beam_search_ids) with the
+    same finished-beam / length-norm / backtracking semantics."""
     from myimagecaptioningmodel_tpu.models import captioner
 
     img_embed, _f, global_feat, _s = captioner.img2feature(
         params, state, images, opts, train=False
     )
+    if opts.arch == "transformer":
+        from myimagecaptioningmodel_tpu.models import transformer as transformer_mod
+
+        tpre = transformer_mod.precompute(
+            params["decoder"], img_embed, global_feat,
+            opts.tdims.num_heads, opts.dtype,
+        )
+        return transformer_mod.beam_search_ids(
+            params["decoder"],
+            tpre,
+            opts.tdims,
+            opts.infer_max_length,
+            beam_size,
+            opts.start_idx,
+            stop_idx,
+            opts.padding_idx,
+            length_norm,
+            opts.dtype,
+        )
     pre = decoder_mod.precompute(params["decoder"], img_embed, global_feat, opts.dtype)
     return beam_search_ids(
         params["decoder"],

@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 from myimagecaptioningmodel_tpu.models import decoder as decoder_mod
 from myimagecaptioningmodel_tpu.models import mobilenet_v2
+from myimagecaptioningmodel_tpu.models import transformer as transformer_mod
 from myimagecaptioningmodel_tpu.models.decoder import DecoderDims
+from myimagecaptioningmodel_tpu.models.transformer import TransformerDims
 from myimagecaptioningmodel_tpu.ops import layers as L
 
 Params = Dict[str, Any]
@@ -65,11 +67,23 @@ class ModelOptions(NamedTuple):
     # device (storage_dtype="uint8" shards fed with device_convert); the
     # float16/float32 feed paths carry already-normalized rows
     image_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
+    # decoder family: "lstm" (reference architecture) | "transformer"
+    # (rebuild-only second family, models/transformer.py). tdims carries the
+    # transformer's static dims when arch == "transformer".
+    arch: str = "lstm"
+    tdims: Optional[TransformerDims] = None
 
     @classmethod
     def from_config(cls, cfg) -> "ModelOptions":
         md = cfg.model
+        arch = getattr(md.decoder, "arch", "lstm")
+        if arch not in ("lstm", "transformer"):
+            raise ValueError(f"unknown model.decoder.arch: {arch!r}")
         return cls(
+            arch=arch,
+            tdims=(
+                TransformerDims.from_config(md) if arch == "transformer" else None
+            ),
             dims=DecoderDims.from_config(md),
             sentence_length=md.decoder.sentence_length,
             infer_max_length=md.decoder.infer_max_length,
@@ -98,11 +112,15 @@ def init(key, opts: ModelOptions) -> Tuple[Params, State]:
     k_enc, k_proj_e, k_proj_g, k_dec = jax.random.split(key, 4)
     enc_params, enc_state = mobilenet_v2.init(k_enc)
     H, C = opts.dims.hidden_dim, opts.dims.feat_channels
+    if opts.arch == "transformer":
+        dec = transformer_mod.init(k_dec, opts.tdims)
+    else:
+        dec = decoder_mod.init(k_dec, opts.dims, parity_init=opts.parity_mode)
     params = {
         "encoder": enc_params,
         "img_embed": L.init_dense(k_proj_e, C, H),
         "img_global": L.init_dense(k_proj_g, C, H),
-        "decoder": decoder_mod.init(k_dec, opts.dims, parity_init=opts.parity_mode),
+        "decoder": dec,
     }
     return params, {"encoder": enc_state}
 
@@ -174,10 +192,23 @@ def loss_fn(
     img_embed, _feat, global_feat, new_state = img2feature(
         params, state, images, opts, train
     )
-    pre = decoder_mod.precompute(params["decoder"], img_embed, global_feat, opts.dtype)
-    logits = decoder_mod.teacher_forcing_logits(
-        params["decoder"], pre, source, opts.parity_mode, opts.padding_idx, opts.dtype
-    )  # [B, T, V]
+    if opts.arch == "transformer":
+        tpre = transformer_mod.precompute(
+            params["decoder"], img_embed, global_feat,
+            opts.tdims.num_heads, opts.dtype,
+        )
+        logits = transformer_mod.teacher_forcing_logits(
+            params["decoder"], tpre, source, opts.tdims,
+            opts.padding_idx, opts.dtype,
+        )  # [B, T, V]
+    else:
+        pre = decoder_mod.precompute(
+            params["decoder"], img_embed, global_feat, opts.dtype
+        )
+        logits = decoder_mod.teacher_forcing_logits(
+            params["decoder"], pre, source, opts.parity_mode,
+            opts.padding_idx, opts.dtype,
+        )  # [B, T, V]
 
     # fused logits -> CE (replaces Paddle softmax_with_cross_entropy, :211)
     logz = jax.nn.logsumexp(logits, axis=-1)
@@ -197,6 +228,23 @@ def greedy_decode(
     img_embed, _feat, global_feat, _ = img2feature(
         params, state, images, opts, train=False
     )
+    if opts.arch == "transformer":
+        tpre = transformer_mod.precompute(
+            params["decoder"], img_embed, global_feat,
+            opts.tdims.num_heads, opts.dtype,
+        )
+        return transformer_mod.greedy_decode_ids(
+            params["decoder"],
+            tpre,
+            opts.tdims,
+            opts.infer_max_length,
+            opts.start_idx,
+            opts.padding_idx,
+            opts.dtype,
+            use_pallas=opts.use_pallas,
+            early_stop=opts.early_stop_decode,
+            stop_idx=opts.stop_idx,
+        )
     pre = decoder_mod.precompute(params["decoder"], img_embed, global_feat, opts.dtype)
     return decoder_mod.greedy_decode_ids(
         params["decoder"],

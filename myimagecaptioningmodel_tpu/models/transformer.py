@@ -1,0 +1,556 @@
+"""Transformer captioning decoder — the rebuild's second decoder family.
+
+The reference ships exactly one architecture (the adaptive-attention LSTM of
+model_adaAttention_aic.py:40-135); this module adds a pre-LN transformer
+decoder with cross-attention over the same MobileNetV2 feature map, selected
+by ``model.decoder.arch = "transformer"``. It plugs into the SAME facade
+surfaces (captioner.init / loss_fn / greedy_decode, inference.beam), the same
+checkpoint/bundle formats, the same CLIs, and the same vocab-TP shardings
+(the tied table keeps the ``embedding``/``out_bias`` key names that
+parallel/mesh.param_shardings targets).
+
+TPU-first design choices (vs a recurrent cell):
+
+- **Training is one pass, no scan.** Teacher forcing computes all T steps'
+  logits with batched causal self-attention — three large MXU matmuls per
+  layer instead of 34 sequential cell iterations. At T=34 / 50 memory slots
+  the attention tensors are tiny; no flash-attention tiling is needed, XLA's
+  fusion handles it.
+- **Decode carries a KV cache** ([B, T_max, heads, d_head] per layer,
+  written with ``lax.dynamic_update_slice`` inside a ``lax.scan`` /
+  ``lax.while_loop`` with static shapes). Cross-attention K/V over the 50
+  image slots are step-invariant and precomputed once (the transformer
+  analog of ``decoder.Precomputed``).
+- **Same tied head as the LSTM family**: ``out_proj`` D->E, logits =
+  proj @ tableᵀ + out_bias (padded-vocab rows carry -1e9 bias). Greedy
+  decode reuses the fused Pallas vocab argmax kernel
+  (ops/pallas/vocab_head.py) — it only contracts proj [B,E] with the table,
+  so it is architecture-agnostic.
+- Matmuls/softmax run in the configurable compute dtype with f32
+  LayerNorm/softmax/logit math, matching ops/layers conventions.
+
+Memory layout: the cross-attention memory is the 49 projected spatial
+features plus the global feature as a 50th slot (both produced by
+captioner.img2feature — reference model_adaAttention_aic.py:191-199).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from myimagecaptioningmodel_tpu.ops import layers as L
+
+Params = Dict[str, Any]
+
+
+class TransformerDims(NamedTuple):
+    vocab_size: int = 12295
+    embedding_size: int = 256  # tied-table width (same role as the LSTM's)
+    model_dim: int = 1024  # == hidden_dim: the img2feature output width
+    num_layers: int = 4
+    num_heads: int = 8
+    mlp_ratio: int = 4
+    max_positions: int = 35  # >= max(sentence_length-1, infer_max_length)
+    vocab_pad_multiple: int = 1
+
+    @property
+    def padded_vocab(self) -> int:
+        m = self.vocab_pad_multiple
+        return -(-self.vocab_size // m) * m
+
+    @property
+    def head_dim(self) -> int:
+        return self.model_dim // self.num_heads
+
+    @classmethod
+    def from_config(cls, md) -> "TransformerDims":
+        d = md.decoder
+        return cls(
+            vocab_size=d.vocab_size,
+            embedding_size=d.embedding_size,
+            model_dim=d.hidden_dim,
+            num_layers=d.num_layers,
+            num_heads=d.num_heads,
+            mlp_ratio=d.mlp_ratio,
+            max_positions=max(d.sentence_length, d.infer_max_length),
+            vocab_pad_multiple=getattr(d, "vocab_pad_multiple", 1),
+        )
+
+
+def _init_ln(dim: int) -> Params:
+    return {"g": jnp.ones((dim,), jnp.float32), "b": jnp.zeros((dim,), jnp.float32)}
+
+
+def _layer_norm(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """f32 LayerNorm regardless of the compute dtype (cheap, numerically
+    load-bearing under bf16 residual streams)."""
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * p["g"] + p["b"]
+
+
+def _init_attn(ks, dim: int) -> Params:
+    return {
+        "wq": L.init_dense(next(ks), dim, dim),
+        "wk": L.init_dense(next(ks), dim, dim, use_bias=False),
+        "wv": L.init_dense(next(ks), dim, dim),
+        "wo": L.init_dense(next(ks), dim, dim),
+    }
+
+
+def init(key, dims: TransformerDims) -> Params:
+    """Decoder param pytree. Key names ``embedding``/``out_bias`` match the
+    LSTM family's so vocab tensor parallelism and int8 export reuse the same
+    tree paths (parallel/mesh.param_shardings:68-72)."""
+    E, D, V = dims.embedding_size, dims.model_dim, dims.padded_vocab
+    n_keys = 4 + dims.num_layers * 12
+    ks = iter(jax.random.split(key, n_keys))
+    out_bias = jnp.zeros((V,), jnp.float32)
+    if V > dims.vocab_size:
+        out_bias = out_bias.at[dims.vocab_size :].set(-1e9)
+    layers = []
+    for _ in range(dims.num_layers):
+        layers.append(
+            {
+                "ln1": _init_ln(D),
+                "attn": _init_attn(ks, D),
+                "ln2": _init_ln(D),
+                "xattn": _init_attn(ks, D),
+                "ln3": _init_ln(D),
+                "mlp": {
+                    "fc1": L.init_dense(next(ks), D, D * dims.mlp_ratio),
+                    "fc2": L.init_dense(next(ks), D * dims.mlp_ratio, D),
+                },
+            }
+        )
+    return {
+        "embedding": L.init_embedding(
+            next(ks), V, E, scale=1.0 / (E**0.5)
+        ),
+        "in_proj": L.init_dense(next(ks), E, D),
+        # learned positions, N(0, 0.02) — the standard GPT-style init
+        "pos": 0.02 * jax.random.normal(next(ks), (dims.max_positions, D)),
+        "layers": tuple(layers),
+        "ln_f": _init_ln(D),
+        "out_proj": L.init_dense(next(ks), D, E),
+        "out_bias": out_bias,
+    }
+
+
+def _split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """[..., T, D] -> [..., T, heads, d_head]"""
+    return x.reshape(*x.shape[:-1], n_heads, x.shape[-1] // n_heads)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., T, heads, d_head] -> [..., T, D]"""
+    return x.reshape(*x.shape[:-2], x.shape[-2] * x.shape[-1])
+
+
+def _attend(q, k, v, mask=None):
+    """Scaled dot-product attention; f32 softmax, bf16 contractions.
+
+    q: [B, Tq, h, d]   k/v: [B, Tk, h, d]   mask: broadcastable [B?, Tq, Tk]
+    """
+    d = q.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    scores = scores / (d**0.5)
+    if mask is not None:
+        scores = jnp.where(mask[:, None, :, :], scores, -1e9)
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(q.dtype), v)
+    return out
+
+
+class TransformerPre(NamedTuple):
+    """Step-invariant per-image tensors (the Precomputed analog): the
+    cross-attention memory and its per-layer K/V projections."""
+
+    mem_k: Tuple[jnp.ndarray, ...]  # per layer: [B, M, heads, d_head]
+    mem_v: Tuple[jnp.ndarray, ...]  # per layer: [B, M, heads, d_head]
+
+    @property
+    def batch(self) -> int:
+        return self.mem_k[0].shape[0]
+
+
+def precompute(
+    params: Params,
+    img_embed: jnp.ndarray,  # [B, k, D] projected spatial features
+    global_feat: jnp.ndarray,  # [B, D]
+    n_heads: int,
+    compute_dtype=jnp.bfloat16,
+) -> TransformerPre:
+    dt = compute_dtype
+    mem = jnp.concatenate(
+        [img_embed.astype(dt), global_feat.astype(dt)[:, None, :]], axis=1
+    )  # [B, M=k+1, D]
+    ks, vs = [], []
+    for layer in params["layers"]:
+        xa = layer["xattn"]
+        ks.append(_split_heads(L.dense(xa["wk"], mem, dt), n_heads))
+        vs.append(_split_heads(L.dense(xa["wv"], mem, dt), n_heads))
+    return TransformerPre(tuple(ks), tuple(vs))
+
+
+def _block(
+    layer: Params,
+    x: jnp.ndarray,  # [B, T, D] residual stream (f32)
+    mem_k: jnp.ndarray,
+    mem_v: jnp.ndarray,
+    n_heads: int,
+    dt,
+    self_mask,  # [B?, T, T] or None
+    cache: Tuple[jnp.ndarray, jnp.ndarray] = None,
+    cache_index=None,
+):
+    """One pre-LN block. With ``cache`` (decode): x is [B, 1, D], the new
+    self-attention K/V are written at ``cache_index`` and attention runs over
+    the cache prefix. Returns (x, new_cache)."""
+    a = layer["attn"]
+    h = _layer_norm(layer["ln1"], x)
+    q = _split_heads(L.dense(a["wq"], h, dt), n_heads)
+    k_new = _split_heads(L.dense(a["wk"], h, dt), n_heads)
+    v_new = _split_heads(L.dense(a["wv"], h, dt), n_heads)
+    if cache is None:
+        sa = _attend(q, k_new, v_new, self_mask)
+        new_cache = None
+    else:
+        ck, cv = cache  # [B, T_max, heads, d]
+        ck = jax.lax.dynamic_update_slice(ck, k_new.astype(ck.dtype), (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v_new.astype(cv.dtype), (0, cache_index, 0, 0))
+        T_max = ck.shape[1]
+        valid = (jnp.arange(T_max) <= cache_index)[None, None, :]  # [1,1,T_max]
+        sa = _attend(q, ck, cv, valid)
+        new_cache = (ck, cv)
+    x = x + L.dense(a["wo"], _merge_heads(sa), dt).astype(jnp.float32)
+
+    xa = layer["xattn"]
+    h = _layer_norm(layer["ln2"], x)
+    qx = _split_heads(L.dense(xa["wq"], h, dt), n_heads)
+    ca = _attend(qx, mem_k, mem_v)
+    x = x + L.dense(xa["wo"], _merge_heads(ca), dt).astype(jnp.float32)
+
+    h = _layer_norm(layer["ln3"], x)
+    h = jax.nn.gelu(L.dense(layer["mlp"]["fc1"], h, dt), approximate=True)
+    x = x + L.dense(layer["mlp"]["fc2"], h, dt).astype(jnp.float32)
+    return x, new_cache
+
+
+def _embed_in(params: Params, ids: jnp.ndarray, positions, padding_idx: int, dt):
+    """ids [..., T] -> residual stream [..., T, D] (f32)."""
+    emb = L.embed(params["embedding"], ids, padding_idx)  # [..., T, E]
+    x = L.dense(params["in_proj"], emb, dt).astype(jnp.float32)
+    return x + params["pos"][positions]
+
+
+def head_logits(params: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16):
+    """Final LN -> out_proj D->E -> tied table head -> [..., V] f32."""
+    dt = compute_dtype
+    h = _layer_norm(params["ln_f"], x)
+    proj = L.dense(params["out_proj"], h, dt)
+    emb = params["embedding"]
+    if "table_q" in emb:
+        logits = (
+            jnp.matmul(proj.astype(dt), emb["table_q"].T.astype(dt)).astype(
+                jnp.float32
+            )
+            * emb["scale"]
+        )
+    else:
+        logits = jnp.matmul(proj.astype(dt), emb["table"].T.astype(dt)).astype(
+            jnp.float32
+        )
+    return logits + params["out_bias"]
+
+
+def head_proj(params: Params, x: jnp.ndarray, compute_dtype=jnp.bfloat16):
+    """Final LN -> out_proj only (the [B,E] input of the fused Pallas vocab
+    head kernels)."""
+    return L.dense(params["out_proj"], _layer_norm(params["ln_f"], x), compute_dtype)
+
+
+def teacher_forcing_logits(
+    params: Params,
+    pre: TransformerPre,
+    source: jnp.ndarray,  # [B, T] input words (caption[:, :-1])
+    dims: TransformerDims,
+    padding_idx: int = 0,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Training forward -> logits [B, T, V]. All T steps at once: causal
+    self-attention replaces the LSTM family's lax.scan (models/decoder.py:299)
+    — sequential depth num_layers instead of T."""
+    B, T = source.shape
+    dt = compute_dtype
+    x = _embed_in(params, source, jnp.arange(T), padding_idx, dt)
+    causal = jnp.tril(jnp.ones((T, T), bool))[None]  # [1, T, T]
+    for layer, mk, mv in zip(params["layers"], pre.mem_k, pre.mem_v):
+        x, _ = _block(layer, x, mk, mv, dims.num_heads, dt, causal)
+    return head_logits(params, x, dt)
+
+
+def _init_cache(dims: TransformerDims, batch: int, max_length: int, dt):
+    shape = (batch, max_length, dims.num_heads, dims.head_dim)
+    return tuple(
+        (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+        for _ in range(dims.num_layers)
+    )
+
+
+def _decode_step(
+    params: Params,
+    pre: TransformerPre,
+    dims: TransformerDims,
+    word: jnp.ndarray,  # [B]
+    caches,
+    t,  # scalar step index
+    padding_idx: int,
+    dt,
+):
+    """One KV-cached decode step -> (x_last [B, D] f32, new caches)."""
+    x = _embed_in(params, word[:, None], t[None], padding_idx, dt)  # [B,1,D]
+    new_caches = []
+    for layer, mk, mv, cache in zip(
+        params["layers"], pre.mem_k, pre.mem_v, caches
+    ):
+        x, cache = _block(
+            layer, x, mk, mv, dims.num_heads, dt, None, cache=cache, cache_index=t
+        )
+        new_caches.append(cache)
+    return x[:, 0, :], tuple(new_caches)
+
+
+def _pallas_head_ok(params: Params) -> bool:
+    """Same production-dims gate as decoder.pallas_dims_ok, for the shared
+    fused vocab-argmax kernel (it contracts proj [B,E] with the table — the
+    kernel is decoder-architecture agnostic)."""
+    emb = params["embedding"]
+    table = emb["table_q"] if "table_q" in emb else emb["table"]
+    V, E = table.shape
+    return V >= 2048 and E % 128 == 0
+
+
+def greedy_decode_ids(
+    params: Params,
+    pre: TransformerPre,
+    dims: TransformerDims,
+    max_length: int,
+    start_idx: int = 2,
+    padding_idx: int = 0,
+    compute_dtype=jnp.bfloat16,
+    use_pallas: bool = False,
+    early_stop: bool = False,
+    stop_idx: int = 3,
+) -> jnp.ndarray:
+    """Greedy decode -> ids [B, max_length]; mirrors the LSTM family's
+    contract (fixed-length scan by default; ``early_stop`` switches to a
+    while_loop that exits at all-<stop>, post-stop positions = <pad>)."""
+    B = pre.batch
+    dt = jnp.dtype(compute_dtype)
+    word0 = jnp.full((B,), start_idx, jnp.int32)
+    caches0 = _init_cache(dims, B, max_length, dt)
+
+    if use_pallas and _pallas_head_ok(params) and B >= 8 and B % 8 == 0:
+        from myimagecaptioningmodel_tpu.ops.pallas.vocab_head import (
+            greedy_vocab_argmax,
+        )
+
+        emb = params["embedding"]
+        if "table_q" in emb:
+
+            def argmax_head(x_last):
+                return greedy_vocab_argmax(
+                    head_proj(params, x_last, dt),
+                    emb["table_q"], params["out_bias"], scale=emb["scale"],
+                )
+
+        else:
+
+            def argmax_head(x_last):
+                return greedy_vocab_argmax(
+                    head_proj(params, x_last, dt), emb["table"], params["out_bias"]
+                )
+
+    else:
+
+        def argmax_head(x_last):
+            logits = head_logits(params, x_last, dt)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if early_stop:
+        ids0 = jnp.full((B, max_length), padding_idx, jnp.int32)
+        done0 = jnp.zeros((B,), bool)
+
+        def w_cond(state):
+            t, _w, _c, _ids, done = state
+            return (t < max_length) & ~jnp.all(done)
+
+        def w_body(state):
+            t, word, caches, ids, done = state
+            x_last, caches = _decode_step(
+                params, pre, dims, word, caches, t, padding_idx, dt
+            )
+            next_word = jnp.where(done, padding_idx, argmax_head(x_last))
+            ids = jax.lax.dynamic_update_slice(ids, next_word[:, None], (0, t))
+            done = done | (next_word == stop_idx)
+            return t + 1, next_word, caches, ids, done
+
+        _, _, _, ids, _ = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), word0, caches0, ids0, done0)
+        )
+        return ids
+
+    def body(carry, t):
+        word, caches = carry
+        x_last, caches = _decode_step(
+            params, pre, dims, word, caches, t, padding_idx, dt
+        )
+        next_word = argmax_head(x_last)
+        return (next_word, caches), next_word
+
+    _, ids_tm = jax.lax.scan(
+        body, (word0, caches0), jnp.arange(max_length)
+    )
+    return jnp.transpose(ids_tm, (1, 0))
+
+
+# ---- beam search ---------------------------------------------------------------
+
+NEG_INF = -1e9
+
+
+def beam_search_ids(
+    params: Params,
+    pre: TransformerPre,
+    dims: TransformerDims,
+    max_length: int,
+    beam_size: int = 4,
+    start_idx: int = 2,
+    stop_idx: int = 3,
+    padding_idx: int = 0,
+    length_norm: float = 0.0,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched beam search with the beams folded into the batch axis — the
+    same semantics/backtracking as inference/beam.beam_search_ids (finished
+    beams extend only with <pad> at zero cost; GNMT length_norm; beam_size=1
+    == greedy). The KV caches are gathered alongside the beams on reorder."""
+    B = pre.batch
+    W = beam_size
+    dt = jnp.dtype(compute_dtype)
+    emb = params["embedding"]
+    V = (emb["table_q"] if "table_q" in emb else emb["table"]).shape[0]
+
+    pre_t = TransformerPre(
+        tuple(jnp.repeat(k, W, axis=0) for k in pre.mem_k),
+        tuple(jnp.repeat(v, W, axis=0) for v in pre.mem_v),
+    )
+    word0 = jnp.full((B * W,), start_idx, jnp.int32)
+    caches0 = _init_cache(dims, B * W, max_length, dt)
+    scores0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((W - 1,), NEG_INF)])[None, :],
+        (B, 1),
+    ).astype(jnp.float32)
+    finished0 = jnp.zeros((B, W), bool)
+    lengths0 = jnp.zeros((B, W), jnp.int32)
+    batch_offsets = (jnp.arange(B) * W)[:, None]
+
+    def body(carry, t):
+        word, caches, scores, finished, lengths = carry
+        x_last, caches = _decode_step(
+            params, pre_t, dims, word, caches, t, padding_idx, dt
+        )
+        logits = head_logits(params, x_last, dt)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logp = logp.reshape(B, W, V)
+
+        pad_only = jnp.full((V,), NEG_INF).at[padding_idx].set(0.0)
+        logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+
+        cand = scores[..., None] + logp  # [B, W, V]
+        top_scores, top_flat = jax.lax.top_k(cand.reshape(B, W * V), W)
+        src_beam = top_flat // V
+        new_word = (top_flat % V).astype(jnp.int32)
+
+        gather = (batch_offsets + src_beam).reshape(-1)  # [B*W]
+        caches = tuple((ck[gather], cv[gather]) for ck, cv in caches)
+        prev_finished = jnp.take_along_axis(finished, src_beam, axis=1)
+        new_finished = prev_finished | (new_word == stop_idx)
+        new_lengths = jnp.take_along_axis(lengths, src_beam, axis=1) + (
+            ~prev_finished
+        ).astype(jnp.int32)
+
+        carry = (
+            new_word.reshape(-1), caches, top_scores, new_finished, new_lengths,
+        )
+        return carry, (new_word, src_beam)
+
+    carry0 = (word0, caches0, scores0, finished0, lengths0)
+    (word, caches, scores, finished, lengths), (words_tm, srcs_tm) = jax.lax.scan(
+        body, carry0, jnp.arange(max_length)
+    )
+
+    def back(beam_ptr, step):
+        words_t, srcs_t = step
+        w = jnp.take_along_axis(words_t, beam_ptr, axis=1)
+        beam_ptr = jnp.take_along_axis(srcs_t, beam_ptr, axis=1)
+        return beam_ptr, w
+
+    init_ptr = jnp.tile(jnp.arange(W)[None, :], (B, 1))
+    _, seq_rev = jax.lax.scan(back, init_ptr, (words_tm[::-1], srcs_tm[::-1]))
+    sequences = jnp.transpose(seq_rev[::-1], (1, 2, 0))  # [B, W, T]
+
+    final_scores = scores
+    if length_norm > 0:
+        final_scores = scores / jnp.maximum(lengths, 1).astype(
+            jnp.float32
+        ) ** length_norm
+    best = jnp.argmax(final_scores, axis=1)
+    ids = jnp.take_along_axis(sequences, best[:, None, None], axis=1)[:, 0, :]
+    best_scores = jnp.take_along_axis(final_scores, best[:, None], axis=1)[:, 0]
+    return ids.astype(jnp.int32), best_scores
+
+
+# ---- int8 serving quantization ----------------------------------------------
+
+
+_QUANT_SKIP = ("pos", "out_bias")
+
+
+def quantize_transformer_decoder(decoder_params: Params) -> Params:
+    """int8 weight storage for serving (ops/quantization.py scheme): every
+    dense-like [I, O] weight gets a per-output-channel scale, the tied table
+    a per-row scale. L.dense/L.embed detect the quantized leaves, so the
+    decode functions above consume the result unchanged."""
+    from myimagecaptioningmodel_tpu.ops.quantization import quantize_weight
+
+    def q_dense(p):
+        p = dict(p)
+        w_q, scale = quantize_weight(p.pop("w"), axis=0)
+        p["w_q"], p["scale"] = w_q, scale
+        return p
+
+    q = dict(decoder_params)
+    q["in_proj"] = q_dense(q["in_proj"])
+    q["out_proj"] = q_dense(q["out_proj"])
+    layers = []
+    for layer in q["layers"]:
+        nl = {}
+        for name, sub in layer.items():
+            if name.startswith("ln"):
+                nl[name] = sub
+            else:
+                nl[name] = {k: (q_dense(v) if "w" in v else v) for k, v in sub.items()}
+        layers.append(nl)
+    q["layers"] = tuple(layers)
+    emb = dict(q["embedding"])
+    table = emb.pop("table")
+    t_q, t_scale = quantize_weight(table, axis=1)
+    emb["table_q"], emb["scale"] = t_q, t_scale
+    q["embedding"] = emb
+    return q
