@@ -112,6 +112,15 @@ class TrainConfig:
     # collapses to stack+DMA (benchmarks/feed_roofline.md). False restores
     # the host-side native converter path.
     device_convert: bool = True
+    # rebuild-only: uniform label smoothing ε over the real vocab rows in the
+    # teacher-forcing CE (0.0 = reference-exact hard targets).
+    label_smoothing: float = 0.0
+    # rebuild-only: split each batch into N sequential microbatches and
+    # average their gradients before the single Adam update — the standard
+    # large-effective-batch recipe when HBM can't hold the full batch's
+    # activations. BN batch statistics are per-microbatch (state threads
+    # through the microbatch scan). batch_size must be divisible by it.
+    grad_accum_steps: int = 1
     # rebuild-only (the reference is DP-only, SURVEY §2.5): size of the
     # tensor-parallel `model` mesh axis. >1 shards the tied vocab-head
     # tensors (embedding table [V,E], output bias [V]) over the vocab

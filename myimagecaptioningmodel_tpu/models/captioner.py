@@ -72,6 +72,9 @@ class ModelOptions(NamedTuple):
     # transformer's static dims when arch == "transformer".
     arch: str = "lstm"
     tdims: Optional[TransformerDims] = None
+    # uniform label smoothing over the REAL vocab rows (padded rows carry a
+    # -1e9 bias and are excluded); 0 = reference-exact hard-target CE
+    label_smoothing: float = 0.0
 
     @classmethod
     def from_config(cls, cfg) -> "ModelOptions":
@@ -84,6 +87,7 @@ class ModelOptions(NamedTuple):
             tdims=(
                 TransformerDims.from_config(md) if arch == "transformer" else None
             ),
+            label_smoothing=float(getattr(cfg.train, "label_smoothing", 0.0)),
             dims=DecoderDims.from_config(md),
             sentence_length=md.decoder.sentence_length,
             infer_max_length=md.decoder.infer_max_length,
@@ -214,6 +218,14 @@ def loss_fn(
     logz = jax.nn.logsumexp(logits, axis=-1)
     gold = jnp.take_along_axis(logits, target[..., None], axis=-1)[..., 0]
     ce = logz - gold
+    if opts.label_smoothing > 0.0:
+        # uniform smoothing over the real vocab: ce = logz - [(1-ε)·gold +
+        # ε·mean(logits)]. Padded rows (-1e9 bias) are sliced out of the
+        # mean — a static slice, so vocab-TP's GSPMD partitioning still
+        # applies (the mean is a sharded reduction + psum).
+        eps = opts.label_smoothing
+        mean_logit = jnp.mean(logits[..., : opts.dims.vocab_size], axis=-1)
+        ce = (1.0 - eps) * ce + eps * (logz - mean_logit)
     loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     return loss, new_state
 

@@ -47,13 +47,20 @@ def build_steps(
     donate: bool = True,
     params_sharding=None,
     opt_sharding=None,
+    grad_accum_steps: int = 1,
 ) -> TrainStepFns:
     """Compile-ready train/decode steps.
 
     With a mesh, batch args are sharded over the ``data`` axis; params/opt
     state follow ``params_sharding``/``opt_sharding`` (pytrees of
     NamedShardings from ``mesh_mod.param_shardings`` — replicated by default,
-    vocab-head tensors sharded over the ``model`` axis under TP)."""
+    vocab-head tensors sharded over the ``model`` axis under TP).
+
+    ``grad_accum_steps > 1`` runs the forward/backward over N sequential
+    microbatches (a ``lax.scan``, so ONE compiled program still) and applies
+    a single Adam update on the averaged gradients — the standard recipe
+    when the full batch's activations exceed HBM. BN statistics are
+    per-microbatch; the BN state threads through the scan."""
 
     if mesh is not None and mesh.shape.get(mesh_mod.MODEL_AXIS, 1) > 1:
         # under vocab-TP: the fused Pallas greedy head assumes an unsharded
@@ -61,11 +68,38 @@ def build_steps(
         # miscompile under partial batch sharding -> taps-form depthwise
         opts = opts._replace(use_pallas=False, safe_depthwise=True)
 
-    def train_step(params, opt_state, model_state, step, images, captions):
+    def grad_fn(params, model_state, images, captions):
         def lf(p):
             return captioner.loss_fn(p, model_state, images, captions, opts, True)
 
-        (loss, new_model_state), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        return jax.value_and_grad(lf, has_aux=True)(params)
+
+    def train_step(params, opt_state, model_state, step, images, captions):
+        if grad_accum_steps > 1:
+            a = grad_accum_steps
+            micro_imgs = images.reshape(a, images.shape[0] // a, *images.shape[1:])
+            micro_caps = captions.reshape(a, captions.shape[0] // a, *captions.shape[1:])
+
+            def micro(carry, xs):
+                g_acc, loss_acc, mstate = carry
+                im, cp = xs
+                (l, ns), g = grad_fn(params, mstate, im, cp)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, loss_acc + l, ns), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params
+            )
+            (g_sum, loss_sum, new_model_state), _ = jax.lax.scan(
+                micro, (zeros, jnp.zeros((), jnp.float32), model_state),
+                (micro_imgs, micro_caps),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / a, g_sum)
+            loss = loss_sum / a
+        else:
+            (loss, new_model_state), grads = grad_fn(
+                params, model_state, images, captions
+            )
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         lr = schedule(step)

@@ -206,6 +206,12 @@ def train(
 
     cfg = cfg or config_mod.default
     opts = ModelOptions.from_config(cfg)
+    accum = int(getattr(cfg.train, "grad_accum_steps", 1) or 1)
+    if accum > 1 and cfg.train.batch_size % accum:
+        raise ValueError(
+            f"batch_size {cfg.train.batch_size} not divisible by "
+            f"grad_accum_steps {accum}"
+        )
     if mesh == "auto":
         mp = max(1, int(cfg.train.model_parallel))
         if mp > 1 and len(jax.devices()) % mp != 0:
@@ -297,7 +303,8 @@ def train(
                 f"{mp}; set model.decoder.vocab_pad_multiple to a multiple"
             )
     steps = build_steps(
-        opts, optimizer, schedule, mesh, params_sharding=p_sh, opt_sharding=o_sh
+        opts, optimizer, schedule, mesh, params_sharding=p_sh, opt_sharding=o_sh,
+        grad_accum_steps=accum,
     )
 
     resume_skip_batches = 0  # mid-epoch resume fast-forward

@@ -33,9 +33,25 @@ CLASSES = [
 ]
 
 
-@pytest.fixture(scope="module")
-def memorized(tmp_path_factory):
-    root = tmp_path_factory.mktemp("quality")
+# Both decoder families run the identical pipeline bar. Per-arch LR: the
+# transformer overshoots at the LSTM's 8e-3 (probed: loss converges but
+# free-running decode collapses to one class on a split; 3e-3/2e-3 are
+# borderline — one split flips per run); 1e-3 reaches dev AND test
+# BLEU-4 = 1.0 with the widest margin.
+ARCHS = {
+    "lstm": {"learning_rate": 8e-3, "decoder": {}},
+    "transformer": {
+        "learning_rate": 1e-3,
+        "decoder": {"arch": "transformer", "num_layers": 2, "num_heads": 4,
+                    "mlp_ratio": 2},
+    },
+}
+
+
+@pytest.fixture(scope="module", params=sorted(ARCHS))
+def memorized(request, tmp_path_factory):
+    arch = request.param
+    root = tmp_path_factory.mktemp(f"quality_{arch}")
     img_dir = root / "images"
     img_dir.mkdir()
     rng = np.random.RandomState(23)
@@ -71,7 +87,7 @@ def memorized(tmp_path_factory):
             },
             "train": {
                 "seed": 0,
-                "learning_rate": 8e-3,
+                "learning_rate": ARCHS[arch]["learning_rate"],
                 "batch_size": 4,
                 "max_epoch": 50,
                 "lr_decay_strategy": "cosine_decay",
@@ -84,6 +100,7 @@ def memorized(tmp_path_factory):
                     "vocab_size": 0, "embedding_size": 16,
                     "sentence_length": 0, "hidden_dim": 48,
                     "infer_max_length": 8,
+                    **ARCHS[arch]["decoder"],
                 },
                 "compute_dtype": "float32",
             },
