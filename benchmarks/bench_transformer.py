@@ -16,10 +16,15 @@ Diagnostics to stderr; one JSON summary line to stdout.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# running as `python benchmarks/bench_transformer.py` puts benchmarks/ on
+# sys.path, not the repo root — add the root for the package + bench imports
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = 128
 BEAM_BATCH = 32
@@ -40,7 +45,6 @@ def main() -> None:
     from myimagecaptioningmodel_tpu.models import captioner
     from myimagecaptioningmodel_tpu.models.captioner import ModelOptions
 
-    sys.path.insert(0, "/root/repo")
     from bench import sustained_captions_per_sec
 
     log(f"device: {jax.devices()[0]}")
@@ -86,6 +90,28 @@ def main() -> None:
             f"{cps/max(cps_b,1e-9):.2f}x per caption vs greedy")
     except Exception as e:
         log(f"beam failed: {type(e).__name__}: {e}")
+
+    # int8 weight storage: unlike the LSTM family (whose fused kernel keeps
+    # weights VMEM-resident, making int8 moot in-decode), the transformer
+    # decode re-streams ~134 MB of weights from HBM every step — int8 halves
+    # that traffic on the streaming-bound path.
+    try:
+        from myimagecaptioningmodel_tpu.models.transformer import (
+            quantize_transformer_decoder,
+        )
+
+        params_q = dict(params)
+        params_q["decoder"] = quantize_transformer_decoder(params["decoder"])
+        cps_q, pb_q = sustained_captions_per_sec(
+            lambda p, s, x: captioner.greedy_decode(p, s, x, opts),
+            params_q, state, images, ITERS,
+        )
+        out["int8_captions_per_sec"] = round(cps_q, 1)
+        log(f"int8 greedy, sustained: {cps_q:.1f} captions/s "
+            f"({pb_q*1000:.1f} ms / batch of {BATCH}; "
+            f"{cps_q/max(cps,1e-9):.2f}x vs bf16)")
+    except Exception as e:
+        log(f"int8 failed: {type(e).__name__}: {e}")
 
     try:
         from functools import partial
