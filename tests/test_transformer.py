@@ -184,6 +184,54 @@ def test_unknown_arch_rejected():
         ModelOptions.from_config(cfg)
 
 
+def test_transformer_dp_train_step_matches_single_device():
+    """8-way data-parallel train step == single-device step for the
+    transformer family (the DP contract test_parallel.py pins for the LSTM)."""
+    import optax
+
+    from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
+    from myimagecaptioningmodel_tpu.parallel.train_step import build_steps
+
+    if len(jax.devices()) != 8:
+        pytest.skip("conftest must force 8 virtual CPU devices")
+    opts = ModelOptions.from_config(_tiny_transformer_cfg())
+    # SGD: updates linear in grads, so only reduction-order noise separates
+    # DP from single-device (same rationale as test_parallel.py)
+    optimizer = optax.sgd(1e-3)
+    schedule = lambda step: 1e-3
+    params, state = captioner.init(jax.random.PRNGKey(0), opts)
+    opt_state = optimizer.init(params)
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.rand(8, 224, 224, 3), F32)
+    caps = jnp.asarray(rng.randint(4, 12, (8, 6)), jnp.int32)
+    step0 = jnp.zeros((), jnp.int32)
+
+    single = build_steps(opts, optimizer, schedule, mesh=None, donate=False)
+    p1, _o1, s1, _st, loss1, _lr = single.train_step(
+        params, opt_state, state, step0, images, caps
+    )
+    ids1 = np.asarray(single.decode_step(p1, s1, images))
+
+    mesh = mesh_mod.make_mesh()
+    dp = build_steps(opts, optimizer, schedule, mesh=mesh, donate=False)
+    imgs_sh, caps_sh = mesh_mod.shard_batch(mesh, images, caps)
+    p8, _o8, s8, _st8, loss8, _lr8 = dp.train_step(
+        params, opt_state, state, step0, imgs_sh, caps_sh
+    )
+    ids8 = np.asarray(dp.decode_step(p8, s8, imgs_sh))
+
+    assert float(loss1) == pytest.approx(float(loss8), rel=1e-5)
+    # norm-relative with an absolute floor — same rationale as
+    # test_parallel.py: f32 psum reduction grouping through the BN stack
+    # wobbles encoder grads; zero-init leaves are one lr-sized update
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        a, b = np.asarray(a), np.asarray(b)
+        diff = np.linalg.norm(a - b)
+        scale = np.linalg.norm(a) + 1e-8
+        assert diff <= max(2e-3 * scale, 5e-4), (diff, scale)
+    np.testing.assert_array_equal(ids1, ids8)
+
+
 def test_vocab_tp_shardings_cover_transformer_tree():
     """parallel/mesh.param_shardings targets decoder.embedding.table /
     decoder.out_bias by key path — the transformer tree keeps those names."""
