@@ -260,6 +260,8 @@ def beam_decode(params, state, images, opts, beam_size: int = 4,
             opts.padding_idx,
             length_norm,
             opts.dtype,
+            use_pallas=opts.use_pallas,
+            early_stop=opts.early_stop_decode,
         )
     pre = decoder_mod.precompute(params["decoder"], img_embed, global_feat, opts.dtype)
     return beam_search_ids(

@@ -435,16 +435,39 @@ def beam_search_ids(
     padding_idx: int = 0,
     length_norm: float = 0.0,
     compute_dtype=jnp.bfloat16,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    early_stop: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched beam search with the beams folded into the batch axis — the
     same semantics/backtracking as inference/beam.beam_search_ids (finished
     beams extend only with <pad> at zero cost; GNMT length_norm; beam_size=1
-    == greedy). The KV caches are gathered alongside the beams on reorder."""
+    == greedy). The KV caches are gathered alongside the beams on reorder.
+
+    ``use_pallas``: the fused top-k vocab head (ops/pallas/vocab_head.py)
+    replaces the [B*W, V] logits + full log_softmax + top_k tail — the
+    kernel contracts proj [B*W, E] with the tied table, so it is decoder-
+    architecture agnostic (exact: for a fixed beam only its best W words can
+    win a next-beam slot). ``early_stop``: while_loop exit once every beam
+    of every row is finished (identical sequences; see the prefill note in
+    inference/beam.py)."""
     B = pre.batch
     W = beam_size
     dt = jnp.dtype(compute_dtype)
     emb = params["embedding"]
     V = (emb["table_q"] if "table_q" in emb else emb["table"]).shape[0]
+    use_fused_head = (
+        use_pallas and W > 1 and (B * W) % 8 == 0 and _pallas_head_ok(params)
+    )
+    if use_fused_head:
+        from myimagecaptioningmodel_tpu.ops.pallas.vocab_head import (
+            topk_vocab_head,
+        )
+
+        if "table_q" in emb:
+            head_table, head_scale = emb["table_q"], emb["scale"]
+        else:
+            head_table, head_scale = emb["table"].astype(dt), None
 
     pre_t = TransformerPre(
         tuple(jnp.repeat(k, W, axis=0) for k in pre.mem_k),
@@ -465,17 +488,35 @@ def beam_search_ids(
         x_last, caches = _decode_step(
             params, pre_t, dims, word, caches, t, padding_idx, dt
         )
-        logits = head_logits(params, x_last, dt)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        logp = logp.reshape(B, W, V)
+        if use_fused_head:
+            proj = head_proj(params, x_last, dt)
+            vals, cand_ids, lse = topk_vocab_head(
+                proj, head_table, params["out_bias"], k=W,
+                scale=head_scale, interpret=interpret,
+            )  # [B*W, W] x2, [B*W]
+            logp = (vals - lse[:, None]).reshape(B, W, W)
+            cand_ids = cand_ids.reshape(B, W, W)
+            pad_row = jnp.full((W,), NEG_INF).at[0].set(0.0)
+            logp = jnp.where(finished[..., None], pad_row[None, None, :], logp)
+            cand_ids = jnp.where(finished[..., None], padding_idx, cand_ids)
+            cand = scores[..., None] + logp  # [B, W, W]
+            top_scores, top_flat = jax.lax.top_k(cand.reshape(B, W * W), W)
+            src_beam = top_flat // W
+            new_word = jnp.take_along_axis(
+                cand_ids.reshape(B, W * W), top_flat, axis=1
+            ).astype(jnp.int32)
+        else:
+            logits = head_logits(params, x_last, dt)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            logp = logp.reshape(B, W, V)
 
-        pad_only = jnp.full((V,), NEG_INF).at[padding_idx].set(0.0)
-        logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+            pad_only = jnp.full((V,), NEG_INF).at[padding_idx].set(0.0)
+            logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
 
-        cand = scores[..., None] + logp  # [B, W, V]
-        top_scores, top_flat = jax.lax.top_k(cand.reshape(B, W * V), W)
-        src_beam = top_flat // V
-        new_word = (top_flat % V).astype(jnp.int32)
+            cand = scores[..., None] + logp  # [B, W, V]
+            top_scores, top_flat = jax.lax.top_k(cand.reshape(B, W * V), W)
+            src_beam = top_flat // V
+            new_word = (top_flat % V).astype(jnp.int32)
 
         gather = (batch_offsets + src_beam).reshape(-1)  # [B*W]
         caches = tuple((ck[gather], cv[gather]) for ck, cv in caches)
@@ -491,9 +532,35 @@ def beam_search_ids(
         return carry, (new_word, src_beam)
 
     carry0 = (word0, caches0, scores0, finished0, lengths0)
-    (word, caches, scores, finished, lengths), (words_tm, srcs_tm) = jax.lax.scan(
-        body, carry0, jnp.arange(max_length)
-    )
+    if early_stop:
+        # prefill = the post-all-finished steady state (pad words, identity
+        # back-pointers), so the truncated run backtracks identically —
+        # same argument as inference/beam.py's early_stop
+        words_buf0 = jnp.full((max_length, B, W), padding_idx, jnp.int32)
+        srcs_buf0 = jnp.tile(jnp.arange(W)[None, None, :], (max_length, B, 1))
+
+        def w_cond(state):
+            t, carry, _wb, _sb = state
+            return (t < max_length) & ~jnp.all(carry[3])
+
+        def w_body(state):
+            t, carry, wb, sb = state
+            carry, (new_word, src_beam) = body(carry, t)
+            wb = jax.lax.dynamic_update_slice(wb, new_word[None], (t, 0, 0))
+            sb = jax.lax.dynamic_update_slice(
+                sb, src_beam.astype(sb.dtype)[None], (t, 0, 0)
+            )
+            return t + 1, carry, wb, sb
+
+        _t, (word, caches, scores, finished, lengths), words_tm, srcs_tm = (
+            jax.lax.while_loop(
+                w_cond, w_body, (jnp.int32(0), carry0, words_buf0, srcs_buf0)
+            )
+        )
+    else:
+        (word, caches, scores, finished, lengths), (words_tm, srcs_tm) = (
+            jax.lax.scan(body, carry0, jnp.arange(max_length))
+        )
 
     def back(beam_ptr, step):
         words_t, srcs_t = step
