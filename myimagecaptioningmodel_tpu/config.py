@@ -115,6 +115,10 @@ class TrainConfig:
     # rebuild-only: uniform label smoothing ε over the real vocab rows in the
     # teacher-forcing CE (0.0 = reference-exact hard targets).
     label_smoothing: float = 0.0
+    # rebuild-only: decay of an exponential moving average of the params
+    # (0.0 = off). The EMA tree rides inside the optimizer state (resume/
+    # sharding/checkpointing free); exports add an "infer_ema" bundle.
+    ema_decay: float = 0.0
     # rebuild-only: split each batch into N sequential microbatches and
     # average their gradients before the single Adam update — the standard
     # large-effective-batch recipe when HBM can't hold the full batch's

@@ -25,12 +25,63 @@ from myimagecaptioningmodel_tpu.models.captioner import ModelOptions
 from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
 
 
+class EmaState(NamedTuple):
+    """State of the params-EMA tracker: the averaged params pytree."""
+
+    ema: dict
+
+
+def params_ema_tracker(decay: float) -> optax.GradientTransformation:
+    """An optax transform that shadows an exponential moving average of the
+    PARAMS (not the updates): ``ema = decay*ema + (1-decay)*(params+updates)``.
+
+    Chain it LAST (after clip/Adam) so it sees the final updates. Because
+    the EMA tree mirrors the param tree verbatim inside the optimizer state,
+    checkpointing, mid-epoch resume, donation, and the vocab-TP shardings
+    (parallel/mesh.opt_state_shardings matches moments by tree-path suffix)
+    all apply to it with zero extra plumbing. Updates pass through unchanged.
+    """
+
+    def init_fn(params):
+        # REAL copies, not jnp.asarray aliases: the train step donates params
+        # and opt_state in the same call — shared buffers would be donated
+        # twice (XLA INVALID_ARGUMENT)
+        return EmaState(
+            ema=jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params)
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("params_ema_tracker requires params")
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p, u: decay * e + (1.0 - decay) * (p + u),
+            state.ema, params, updates,
+        )
+        return updates, EmaState(ema=new_ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def ema_params_from_opt_state(opt_state):
+    """Extract the EMA params tree from a (possibly chained) optimizer state;
+    None when no EMA tracker is present."""
+    states = opt_state if isinstance(opt_state, (tuple, list)) else (opt_state,)
+    for s in states:
+        if isinstance(s, EmaState):
+            return s.ema
+    return None
+
+
 def make_optimizer(cfg, schedule) -> optax.GradientTransformation:
-    """Adam + optional by-value clip (reference train.py:26-31,42-43)."""
+    """Adam + optional by-value clip (reference train.py:26-31,42-43) +
+    optional params-EMA tracker (rebuild-only, cfg.train.ema_decay)."""
     tx = optax.adam(learning_rate=schedule)
     clip = cfg.train.gradient_clip
     if clip:
         tx = optax.chain(optax.clip(float(clip)), tx)
+    ema = float(getattr(cfg.train, "ema_decay", 0.0) or 0.0)
+    if ema > 0.0:
+        tx = optax.chain(tx, params_ema_tracker(ema))
     return tx
 
 

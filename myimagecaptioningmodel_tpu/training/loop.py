@@ -158,6 +158,18 @@ def save_model(
         ckpt.export_inference_bundle(
             os.path.join(p, "infer"), params, model_state, cfg, cfg.data.dict_path
         )
+        # EMA weights (train.ema_decay > 0): a second serving bundle with the
+        # averaged params — evaluate/infer pick it via bundle="infer_ema"
+        from myimagecaptioningmodel_tpu.parallel.train_step import (
+            ema_params_from_opt_state,
+        )
+
+        ema = ema_params_from_opt_state(opt_state)
+        if ema is not None:
+            ckpt.export_inference_bundle(
+                os.path.join(p, "infer_ema"), ema, model_state, cfg,
+                cfg.data.dict_path,
+            )
     if cfg.train.save_best_bleu_checkpoint and eval_bleu is not None:
         if eval_bleu > logger.best_bleu:
             logger.best_bleu = eval_bleu

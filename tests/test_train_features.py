@@ -157,6 +157,156 @@ def test_grad_accum_through_loop(tmp_path):
         loop.train(cfg, mesh=None)
 
 
+def test_ema_tracker_matches_manual_recursion():
+    """params_ema_tracker: after k updates, the shadowed tree equals the
+    manual ema = d*ema + (1-d)*params recursion; updates pass through
+    unchanged (same trained params as without EMA)."""
+    from myimagecaptioningmodel_tpu.parallel.train_step import (
+        ema_params_from_opt_state,
+        make_optimizer,
+    )
+
+    cfg = _tiny_cfg(ema_decay=0.9)
+    opts = ModelOptions.from_config(cfg)
+    params, state = captioner.init(jax.random.PRNGKey(0), opts)
+    schedule = lambda step: 1e-3
+    opt = make_optimizer(cfg, schedule)
+    opt_plain = make_optimizer(_tiny_cfg(), schedule)
+    o = opt.init(params)
+    o_plain = opt_plain.init(params)
+
+    rng = np.random.RandomState(5)
+    images, caps = _batch(rng, 2)
+
+    def grads_of(p, s):
+        return jax.grad(
+            lambda pp: captioner.loss_fn(pp, s, images, caps, opts)[0]
+        )(p)
+
+    p_ema, p_plain = params, params
+    manual = params
+    for _ in range(3):
+        g = grads_of(p_ema, state)
+        upd, o = opt.update(g, o, p_ema)
+        p_ema = jax.tree_util.tree_map(jnp.add, p_ema, upd)
+        upd_p, o_plain = opt_plain.update(g, o_plain, p_plain)
+        p_plain = jax.tree_util.tree_map(jnp.add, p_plain, upd_p)
+        manual = jax.tree_util.tree_map(
+            lambda e, p: 0.9 * e + 0.1 * p, manual, p_ema
+        )
+
+    # EMA must not perturb the actual training trajectory
+    for a, b in zip(jax.tree_util.tree_leaves(p_ema),
+                    jax.tree_util.tree_leaves(p_plain)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ema = ema_params_from_opt_state(o)
+    assert ema is not None
+    for a, b in zip(jax.tree_util.tree_leaves(ema),
+                    jax.tree_util.tree_leaves(manual)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # no tracker -> None
+    assert ema_params_from_opt_state(o_plain) is None
+
+
+def test_ema_state_gets_tp_shardings():
+    """The EMA tree mirrors the param paths, so opt_state_shardings gives its
+    vocab-head leaves the SAME model-axis sharding as the params."""
+    import pytest as _pytest
+
+    from jax.sharding import PartitionSpec as P
+
+    from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
+    from myimagecaptioningmodel_tpu.parallel.train_step import (
+        EmaState,
+        make_optimizer,
+    )
+
+    if len(jax.devices()) < 2:
+        _pytest.skip("needs >= 2 virtual devices")
+    cfg = _tiny_cfg(ema_decay=0.99)
+    cfg = config_mod.replace_nested(cfg, "model.decoder.vocab_pad_multiple", 2)
+    opts = ModelOptions.from_config(cfg)
+    params, _state = captioner.init(jax.random.PRNGKey(0), opts)
+    opt = make_optimizer(cfg, lambda s: 1e-3)
+    o = opt.init(params)
+    mesh = mesh_mod.make_mesh(jax.devices()[:2], model_parallel=2)
+    p_sh = mesh_mod.param_shardings(mesh, params)
+    o_sh = mesh_mod.opt_state_shardings(mesh, o, params, p_sh)
+    ema_sh = [s for s in o_sh if isinstance(s, EmaState)]
+    assert len(ema_sh) == 1
+    assert ema_sh[0].ema["decoder"]["embedding"]["table"].spec == P("model", None)
+    assert ema_sh[0].ema["decoder"]["out_bias"].spec == P("model")
+
+
+def test_ema_bundle_exported_and_evaluable(tmp_path):
+    """loop.train with ema_decay exports an 'infer_ema' bundle alongside
+    'infer', and evaluate() can score from it."""
+    import json
+
+    from PIL import Image
+
+    from myimagecaptioningmodel_tpu.data import dataset_gen
+    from myimagecaptioningmodel_tpu.evaluation import evaluate as evaluate_mod
+    from myimagecaptioningmodel_tpu.training import loop
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(11)
+    records = []
+    for i in range(12):
+        name = f"img_{i:02d}.jpg"
+        Image.fromarray(
+            rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+        ).save(img_dir / name)
+        records.append({"image_id": name, "caption": ["一只 猫 在 睡觉"]})
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps(records, ensure_ascii=False), encoding="utf-8")
+    out = tmp_path / "ds"
+    cfg = config_mod.Config.from_dict({
+        "build_dataset": {
+            "image_paths": [str(img_dir)], "annotation_path": str(ann),
+            "output_path": str(out), "h5_name2idx": str(out / "name2idx.json"),
+        },
+        "data": {
+            "image_shape": [32, 32], "dict_path": str(out),
+            "h5_path": [str(out)], "h5_name2idx": str(out / "name2idx.json"),
+        },
+        "train": {
+            "seed": 0, "batch_size": 4, "max_epoch": 1, "ema_decay": 0.5,
+            "checkpoint_path": str(tmp_path / "save"),
+        },
+        "model": {
+            "decoder": {
+                "vocab_size": 0, "embedding_size": 8, "sentence_length": 0,
+                "hidden_dim": 16, "infer_max_length": 6,
+                "vocab_pad_multiple": 1,
+            },
+            "compute_dtype": "float32",
+        },
+        "log": {"log_path": str(tmp_path / "log")},
+    })
+    summary = dataset_gen.build_all(cfg, segmenter="space", split_seed=0)
+    cfg = config_mod.replace_nested(
+        cfg, "model.decoder.vocab_size", summary["tokenize"]["vocab_size"]
+    )
+    cfg = config_mod.replace_nested(
+        cfg, "model.decoder.sentence_length", summary["tokenize"]["max_len"]
+    )
+    loop.train(cfg, mesh=None)
+    import os
+
+    assert os.path.exists(
+        os.path.join(cfg.train.checkpoint_path, "infer_ema", "params.msgpack")
+    )
+    res = evaluate_mod.evaluate(cfg, bundle="infer_ema", mode="test")
+    assert len(res["bleu"]) == 5
+    # EMA params differ from the live params after 1 epoch (decay 0.5 lags)
+    res_live = evaluate_mod.evaluate(cfg, bundle="infer", mode="test")
+    assert all(0.0 <= b <= 1.0 for b in res["bleu"] + res_live["bleu"])
+
+
 def test_label_smoothing_transformer_path():
     """Smoothing applies identically through the transformer family's loss."""
     cfg = _tiny_cfg(label_smoothing=0.2)
