@@ -12,6 +12,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("url", help="image URL or local path")
     ap.add_argument("--config", default=None, help="path to a JSON config")
+    ap.add_argument("--bundle", default="infer",
+                    help="inference bundle name (e.g. infer_ema)")
     ap.add_argument("--beam", type=int, default=0, help="beam size (0/1 = greedy)")
     ap.add_argument("--quantize", action="store_true", help="int8 decoder weights")
     ap.add_argument(
@@ -26,8 +28,9 @@ def main() -> None:
     cfg = config_mod.Config.from_json_file(args.config) if args.config else config_mod.default
     env.enable_compilation_cache()
     infer_mod.main(
-        args.url, cfg, beam_size=args.beam, quantize=args.quantize,
-        early_stop=args.early_stop, length_norm=args.length_norm,
+        args.url, cfg, bundle=args.bundle, beam_size=args.beam,
+        quantize=args.quantize, early_stop=args.early_stop,
+        length_norm=args.length_norm,
     )
 
 

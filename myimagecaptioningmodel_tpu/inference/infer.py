@@ -65,15 +65,16 @@ def caption_image(
 
 
 def main(
-    url: str, cfg=None, beam_size: int = 0, quantize: bool = False,
-    early_stop: bool = False, length_norm: float = 0.0,
+    url: str, cfg=None, bundle: str = "infer", beam_size: int = 0,
+    quantize: bool = False, early_stop: bool = False,
+    length_norm: float = 0.0,
 ) -> str:
     from myimagecaptioningmodel_tpu import config as config_mod
 
     cfg = cfg or config_mod.default
     ids, sentence = caption_image(
-        cfg, fetch_image(url), beam_size=beam_size, quantize=quantize,
-        early_stop=early_stop, length_norm=length_norm,
+        cfg, fetch_image(url), bundle=bundle, beam_size=beam_size,
+        quantize=quantize, early_stop=early_stop, length_norm=length_norm,
     )
     print(ids)
     print(sentence)
