@@ -114,7 +114,7 @@ def main() -> None:
         log(f"int8 failed: {type(e).__name__}: {e}")
 
     try:
-        from functools import partial
+        from bench import sustained_train_images_per_sec
 
         optimizer = optax.adam(5e-5)
         opt_state = optimizer.init(params)
@@ -122,39 +122,15 @@ def main() -> None:
             rng.randint(1, opts.dims.vocab_size, (BATCH, opts.sentence_length)),
             jnp.int32,
         )
-        train_iters = 8
-
-        def one_step(carry, k):
-            p, o, s = carry
-
-            def lf(pp):
-                return captioner.loss_fn(
-                    pp, s, images + k.astype(jnp.float32) * 1e-6, caps, opts, True
-                )
-
-            (loss_k, ns), grads = jax.value_and_grad(lf, has_aux=True)(p)
-            upd, no = optimizer.update(grads, o, p)
-            return (optax.apply_updates(p, upd), no, ns), loss_k
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def train_k(carry):
-            return jax.lax.scan(one_step, carry, jnp.arange(train_iters))
-
         t0 = time.time()
-        carry, losses = train_k((params, opt_state, state))
-        jax.block_until_ready(losses)
-        log(f"train compile+first run: {time.time()-t0:.1f}s, "
-            f"loss={float(losses[-1]):.3f}")
-        dt = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            carry, losses = train_k(carry)
-            jax.block_until_ready(losses)
-            dt = min(dt, time.time() - t0)
-        ips = BATCH * train_iters / dt
+        ips, per_step, loss0 = sustained_train_images_per_sec(
+            opts, optimizer, params, opt_state, state, images, caps,
+            train_iters=8,
+        )
+        log(f"train compile+first+reps: {time.time()-t0:.1f}s, loss={loss0:.3f}")
         out["train_images_per_sec_sustained"] = round(ips, 1)
-        log(f"train, sustained (in-graph {train_iters}-step scan): "
-            f"{ips:.1f} images/s ({dt/train_iters*1000:.1f} ms/step)")
+        log(f"train, sustained (in-graph 8-step scan): "
+            f"{ips:.1f} images/s ({per_step*1000:.1f} ms/step)")
     except Exception as e:
         log(f"train failed: {type(e).__name__}: {e}")
 

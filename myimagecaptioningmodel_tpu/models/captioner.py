@@ -180,15 +180,20 @@ def img2feature(
     return img_embed, feat, global_feat, {"encoder": enc_state}
 
 
-def loss_fn(
+def loss_terms(
     params: Params,
     state: State,
     images: jnp.ndarray,  # [B, 224, 224, 3]
     captions: jnp.ndarray,  # [B, sentence_length] int
     opts: ModelOptions,
     train: bool = True,
-) -> Tuple[jnp.ndarray, State]:
-    """Masked token-mean teacher-forcing cross-entropy -> (scalar, new state)."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, State]:
+    """Unreduced loss -> (masked CE sum, non-pad token count, new state).
+
+    The (sum, count) decomposition is what gradient accumulation needs:
+    summing per-microbatch CE sums and dividing by the GLOBAL token count
+    reproduces the whole-batch token-mean objective exactly, where averaging
+    per-microbatch means would over-weight short-caption microbatches."""
     source = captions[:, :-1]
     target = captions[:, 1:]
     mask = (target != opts.padding_idx).astype(jnp.float32)
@@ -221,13 +226,32 @@ def loss_fn(
     if opts.label_smoothing > 0.0:
         # uniform smoothing over the real vocab: ce = logz - [(1-ε)·gold +
         # ε·mean(logits)]. Padded rows (-1e9 bias) are sliced out of the
-        # mean — a static slice, so vocab-TP's GSPMD partitioning still
-        # applies (the mean is a sharded reduction + psum).
+        # mean via the ARCH-appropriate vocab size — a static slice, so
+        # vocab-TP's GSPMD partitioning still applies (the mean is a sharded
+        # reduction + psum).
         eps = opts.label_smoothing
-        mean_logit = jnp.mean(logits[..., : opts.dims.vocab_size], axis=-1)
+        real_v = (
+            opts.tdims.vocab_size if opts.arch == "transformer"
+            else opts.dims.vocab_size
+        )
+        mean_logit = jnp.mean(logits[..., :real_v], axis=-1)
         ce = (1.0 - eps) * ce + eps * (logz - mean_logit)
-    loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-    return loss, new_state
+    return jnp.sum(ce * mask), jnp.sum(mask), new_state
+
+
+def loss_fn(
+    params: Params,
+    state: State,
+    images: jnp.ndarray,  # [B, 224, 224, 3]
+    captions: jnp.ndarray,  # [B, sentence_length] int
+    opts: ModelOptions,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, State]:
+    """Masked token-mean teacher-forcing cross-entropy -> (scalar, new state)."""
+    ce_sum, n_tok, new_state = loss_terms(
+        params, state, images, captions, opts, train
+    )
+    return ce_sum / jnp.maximum(n_tok, 1.0), new_state
 
 
 def greedy_decode(

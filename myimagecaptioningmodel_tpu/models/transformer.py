@@ -107,7 +107,9 @@ def init(key, dims: TransformerDims) -> Params:
     LSTM family's so vocab tensor parallelism and int8 export reuse the same
     tree paths (parallel/mesh.param_shardings:68-72)."""
     E, D, V = dims.embedding_size, dims.model_dim, dims.padded_vocab
-    n_keys = 4 + dims.num_layers * 12
+    # exact key budget: embedding + in_proj + pos + out_proj, then per layer
+    # attn(4) + xattn(4) + mlp(2)
+    n_keys = 4 + dims.num_layers * 10
     ks = iter(jax.random.split(key, n_keys))
     out_bias = jnp.zeros((V,), jnp.float32)
     if V > dims.vocab_size:
@@ -584,9 +586,6 @@ def beam_search_ids(
 
 
 # ---- int8 serving quantization ----------------------------------------------
-
-
-_QUANT_SKIP = ("pos", "out_bias")
 
 
 def quantize_transformer_decoder(decoder_params: Params) -> Params:

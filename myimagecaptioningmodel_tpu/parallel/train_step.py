@@ -63,12 +63,15 @@ def params_ema_tracker(decay: float) -> optax.GradientTransformation:
 
 
 def ema_params_from_opt_state(opt_state):
-    """Extract the EMA params tree from a (possibly chained) optimizer state;
-    None when no EMA tracker is present."""
-    states = opt_state if isinstance(opt_state, (tuple, list)) else (opt_state,)
-    for s in states:
-        if isinstance(s, EmaState):
-            return s.ema
+    """Extract the EMA params tree from an arbitrarily nested optimizer state
+    (chains within chains, MultiSteps wrappers, ...); None when absent."""
+    if isinstance(opt_state, EmaState):
+        return opt_state.ema
+    if isinstance(opt_state, (tuple, list)):
+        for s in opt_state:
+            found = ema_params_from_opt_state(s)
+            if found is not None:
+                return found
     return None
 
 
@@ -127,26 +130,41 @@ def build_steps(
 
     def train_step(params, opt_state, model_state, step, images, captions):
         if grad_accum_steps > 1:
+            # Accumulate the gradient of the masked-CE SUM per microbatch and
+            # divide by the GLOBAL token count — exactly the whole-batch
+            # token-mean objective. (Averaging per-microbatch token-MEANS
+            # would over-weight microbatches holding short captions.)
             a = grad_accum_steps
             micro_imgs = images.reshape(a, images.shape[0] // a, *images.shape[1:])
             micro_caps = captions.reshape(a, captions.shape[0] // a, *captions.shape[1:])
 
+            def sum_fn(p, mstate, im, cp):
+                ce_sum, n_tok, ns = captioner.loss_terms(
+                    p, mstate, im, cp, opts, True
+                )
+                return ce_sum, (n_tok, ns)
+
             def micro(carry, xs):
-                g_acc, loss_acc, mstate = carry
+                g_acc, ce_acc, tok_acc, mstate = carry
                 im, cp = xs
-                (l, ns), g = grad_fn(params, mstate, im, cp)
+                (ce_sum, (n_tok, ns)), g = jax.value_and_grad(
+                    sum_fn, has_aux=True
+                )(params, mstate, im, cp)
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-                return (g_acc, loss_acc + l, ns), None
+                return (g_acc, ce_acc + ce_sum, tok_acc + n_tok, ns), None
 
             zeros = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), params
             )
-            (g_sum, loss_sum, new_model_state), _ = jax.lax.scan(
-                micro, (zeros, jnp.zeros((), jnp.float32), model_state),
+            (g_sum, ce_total, tok_total, new_model_state), _ = jax.lax.scan(
+                micro,
+                (zeros, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                 model_state),
                 (micro_imgs, micro_caps),
             )
-            grads = jax.tree_util.tree_map(lambda g: g / a, g_sum)
-            loss = loss_sum / a
+            denom = jnp.maximum(tok_total, 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g / denom, g_sum)
+            loss = ce_total / denom
         else:
             (loss, new_model_state), grads = grad_fn(
                 params, model_state, images, captions

@@ -24,6 +24,7 @@ reference scale that is 4 of 944,996 samples per epoch.
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import Optional
 
@@ -476,8 +477,20 @@ def train(
         finally:
             feeder.close()
             # land any in-flight rolling checkpoint before epoch-end writes
-            # touch the same directory (and before a crash unwinds past it)
-            ckpt_writer.wait()
+            # touch the same directory (and before a crash unwinds past it).
+            # If the loop body is ALREADY unwinding with the real failure
+            # (NaN guard, fault injection), a stale background write error
+            # must not replace it — log it and let the original propagate.
+            try:
+                ckpt_writer.wait()
+            except Exception as werr:
+                if sys.exc_info()[1] is not None:
+                    logger.log(
+                        "WARNING: background checkpoint write failed while "
+                        f"handling another error: {type(werr).__name__}: {werr}"
+                    )
+                else:
+                    raise
         if prev_loss is not None:
             lval = float(prev_loss)
             if np.isnan(lval):

@@ -103,23 +103,31 @@ def test_grad_accum_matches_manual_accumulation():
     images = jnp.asarray(rng.rand(4, 224, 224, 3), F32)
     caps = jnp.asarray(rng.randint(4, 12, (4, 6)), jnp.int32)
     caps = caps.at[:, 0].set(2).at[:, -2].set(3).at[:, -1].set(0)
+    # UNEQUAL token counts across microbatches: rows 2-3 are mostly <pad>,
+    # so microbatch means differ from the global token-mean — pinning that
+    # accumulation weights by token count, not by microbatch
+    caps = caps.at[2:, 2:].set(0)
     step0 = jnp.zeros((), jnp.int32)
 
     # manual oracle over microbatches [0:2], [2:4] — JITTED: an eager oracle
-    # compiles differently and its BN backward diverges at f32 noise scale
-    def lf(p, s, im, cp):
-        return captioner.loss_fn(p, s, im, cp, opts, True)
+    # compiles differently and its BN backward diverges at f32 noise scale.
+    # The whole-batch token-mean objective = sum of per-micro CE sums over
+    # the GLOBAL token count.
+    def lsum(p, s, im, cp):
+        ce, n, ns = captioner.loss_terms(p, s, im, cp, opts, True)
+        return ce, (n, ns)
 
     @jax.jit
     def oracle(params, state):
-        (l0, s_mid), g0 = jax.value_and_grad(lf, has_aux=True)(
+        (ce0, (n0, s_mid)), g0 = jax.value_and_grad(lsum, has_aux=True)(
             params, state, images[:2], caps[:2]
         )
-        (l1, s_end), g1 = jax.value_and_grad(lf, has_aux=True)(
+        (ce1, (n1, s_end)), g1 = jax.value_and_grad(lsum, has_aux=True)(
             params, s_mid, images[2:], caps[2:]
         )
-        grads = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g0, g1)
-        return grads, (l0 + l1) / 2.0, s_end
+        n = n0 + n1
+        grads = jax.tree_util.tree_map(lambda a, b: (a + b) / n, g0, g1)
+        return grads, (ce0 + ce1) / n, s_end
 
     grads_ref, loss_ref_a, s_end = oracle(params, state)
     loss_ref = float(loss_ref_a)
