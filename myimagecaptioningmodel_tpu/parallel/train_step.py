@@ -147,6 +147,16 @@ def build_steps(
             def micro(carry, xs):
                 g_acc, ce_acc, tok_acc, mstate = carry
                 im, cp = xs
+                if mesh is not None:
+                    # Pin each microbatch back to leading-axis data sharding:
+                    # the [B] -> [a, B/a] reshape leaves the sharded rows on
+                    # axis 1, a partitioning regime where XLA's SPMD gradients
+                    # diverge from the single-device program (measured ~1-4%
+                    # early-conv grad error on a (data=4) CPU mesh; exact
+                    # once constrained — tests/test_train_features.py).
+                    bsh = mesh_mod.batch_sharding(mesh)
+                    im = jax.lax.with_sharding_constraint(im, bsh)
+                    cp = jax.lax.with_sharding_constraint(cp, bsh)
                 (ce_sum, (n_tok, ns)), g = jax.value_and_grad(
                     sum_fn, has_aux=True
                 )(params, mstate, im, cp)

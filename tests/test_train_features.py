@@ -154,6 +154,74 @@ def test_grad_accum_matches_manual_accumulation():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_grad_accum_under_dp_mesh_matches_mesh_oracle():
+    """accum=2 on a 4-device data mesh == a manual two-microbatch oracle ON
+    THE SAME MESH (each micro leading-axis sharded): same token-weighted
+    grads, threaded BN state, one update.
+
+    The oracle must share the mesh: a single-device reference is NOT
+    comparable here — at 1 row/shard the partitioning-induced f32 noise,
+    amplified backward through the 53-layer BN chain, reaches ~4% on the
+    stem conv's gradient even with NO accumulation involved (measured;
+    losses still agree to 1e-5). The DP-vs-single contract at sane
+    rows-per-shard is pinned by test_parallel.py / the transformer DP test."""
+    import optax
+    import pytest as _pytest
+
+    from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod
+
+    if len(jax.devices()) < 4:
+        _pytest.skip("needs >= 4 virtual devices")
+    cfg = _tiny_cfg()
+    opts = ModelOptions.from_config(cfg)
+    params, state = captioner.init(jax.random.PRNGKey(0), opts)
+    optimizer = optax.sgd(1.0)
+    opt_state = optimizer.init(params)
+    schedule = lambda step: 1.0
+
+    rng = np.random.RandomState(2)
+    images = jnp.asarray(rng.rand(8, 224, 224, 3), F32)
+    caps = jnp.asarray(rng.randint(4, 12, (8, 6)), jnp.int32)
+    caps = caps.at[:, 0].set(2).at[4:, 2:].set(0)  # unequal micro token counts
+    step0 = jnp.zeros((), jnp.int32)
+    mesh = mesh_mod.make_mesh(jax.devices()[:4])
+
+    # mesh oracle: two independent jitted grad computations, micros sharded
+    # over the data axis, token-weighted combination
+    def lsum(p, s, im, cp):
+        ce, n, ns = captioner.loss_terms(p, s, im, cp, opts, True)
+        return ce, (n, ns)
+
+    gfun = jax.jit(jax.value_and_grad(lsum, has_aux=True))
+    im0, cp0 = mesh_mod.shard_batch(mesh, images[:4], caps[:4])
+    im1, cp1 = mesh_mod.shard_batch(mesh, images[4:], caps[4:])
+    (ce0, (n0, s_mid)), g0 = gfun(params, state, im0, cp0)
+    (ce1, (n1, s_end)), g1 = gfun(params, s_mid, im1, cp1)
+    ntot = float(n0) + float(n1)
+    loss_ref = (float(ce0) + float(ce1)) / ntot
+    grads_ref = jax.tree_util.tree_map(lambda a, b: (a + b) / ntot, g0, g1)
+
+    dp = build_steps(opts, optimizer, schedule, mesh=mesh, donate=False,
+                     grad_accum_steps=2)
+    imgs_sh, caps_sh = mesh_mod.shard_batch(mesh, images, caps)
+    p2, _o2, s2, _st2, loss2, _lr2 = dp.train_step(
+        params, opt_state, state, step0, imgs_sh, caps_sh
+    )
+    grads_acc = jax.tree_util.tree_map(jnp.subtract, params, p2)
+
+    assert abs(float(loss2) - loss_ref) < 1e-5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads_ref), jax.tree_util.tree_leaves(grads_acc)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        diff = np.linalg.norm(a - b)
+        scale = np.linalg.norm(a) + 1e-8
+        assert diff <= max(1e-3 * scale, 1e-4), (diff, scale)
+    for a, b in zip(jax.tree_util.tree_leaves(s_end), jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_grad_accum_through_loop(tmp_path):
     """loop.train validates divisibility and runs with grad_accum_steps set."""
     import pytest
