@@ -199,6 +199,46 @@ def precompute(
     return TransformerPre(tuple(ks), tuple(vs))
 
 
+def prepare_decode_layers(params: Params) -> Tuple[Params, ...]:
+    """Decode-time layer views with the self-attention q/k/v projections
+    fused into ONE [D, 3D] matmul ("wqkv"). The KV-cached step is launch-
+    bound (many small ops per layer), so collapsing three [B,1,D]x[D,D]
+    matmuls into one removes two fusion boundaries per layer per step.
+    Exact: concatenating the weights along the output axis (and the biases,
+    with zeros for the bias-free wk) computes the identical three products.
+    Handles int8 weights (per-output-channel scales concatenate likewise).
+    The concat happens once per decode call, outside the step scan; training
+    keeps the separate leaves (their gradients are the checkpoint format).
+    """
+    out = []
+    for layer in params["layers"]:
+        a = layer["attn"]
+        la = dict(layer)
+        if "w_q" in a["wq"]:
+            wqkv = {
+                "w_q": jnp.concatenate(
+                    [a["wq"]["w_q"], a["wk"]["w_q"], a["wv"]["w_q"]], axis=1
+                ),
+                "scale": jnp.concatenate(
+                    [a["wq"]["scale"], a["wk"]["scale"], a["wv"]["scale"]]
+                ),
+            }
+        else:
+            wqkv = {
+                "w": jnp.concatenate(
+                    [a["wq"]["w"], a["wk"]["w"], a["wv"]["w"]], axis=1
+                )
+            }
+        D = (a["wq"]["w_q"] if "w_q" in a["wq"] else a["wq"]["w"]).shape[0]
+        wqkv["b"] = jnp.concatenate(
+            [a["wq"].get("b", jnp.zeros((D,))), jnp.zeros((D,)),
+             a["wv"].get("b", jnp.zeros((D,)))]
+        )
+        la["attn"] = dict(a, wqkv=wqkv)
+        out.append(la)
+    return tuple(out)
+
+
 def _block(
     layer: Params,
     x: jnp.ndarray,  # [B, T, D] residual stream (f32)
@@ -215,9 +255,16 @@ def _block(
     the cache prefix. Returns (x, new_cache)."""
     a = layer["attn"]
     h = _layer_norm(layer["ln1"], x)
-    q = _split_heads(L.dense(a["wq"], h, dt), n_heads)
-    k_new = _split_heads(L.dense(a["wk"], h, dt), n_heads)
-    v_new = _split_heads(L.dense(a["wv"], h, dt), n_heads)
+    if "wqkv" in a:  # decode-prepared fused projection (prepare_decode_layers)
+        qkv = L.dense(a["wqkv"], h, dt)
+        D = qkv.shape[-1] // 3
+        q = _split_heads(qkv[..., :D], n_heads)
+        k_new = _split_heads(qkv[..., D : 2 * D], n_heads)
+        v_new = _split_heads(qkv[..., 2 * D :], n_heads)
+    else:
+        q = _split_heads(L.dense(a["wq"], h, dt), n_heads)
+        k_new = _split_heads(L.dense(a["wk"], h, dt), n_heads)
+        v_new = _split_heads(L.dense(a["wv"], h, dt), n_heads)
     if cache is None:
         sa = _attend(q, k_new, v_new, self_mask)
         new_cache = None
@@ -313,12 +360,14 @@ def _decode_step(
     t,  # scalar step index
     padding_idx: int,
     dt,
+    layers=None,  # prepared decode layers (prepare_decode_layers) or None
 ):
     """One KV-cached decode step -> (x_last [B, D] f32, new caches)."""
     x = _embed_in(params, word[:, None], t[None], padding_idx, dt)  # [B,1,D]
     new_caches = []
     for layer, mk, mv, cache in zip(
-        params["layers"], pre.mem_k, pre.mem_v, caches
+        params["layers"] if layers is None else layers,
+        pre.mem_k, pre.mem_v, caches,
     ):
         x, cache = _block(
             layer, x, mk, mv, dims.num_heads, dt, None, cache=cache, cache_index=t
@@ -356,6 +405,7 @@ def greedy_decode_ids(
     dt = jnp.dtype(compute_dtype)
     word0 = jnp.full((B,), start_idx, jnp.int32)
     caches0 = _init_cache(dims, B, max_length, dt)
+    layers_p = prepare_decode_layers(params)  # fused qkv, hoisted off the scan
 
     if use_pallas and _pallas_head_ok(params) and B >= 8 and B % 8 == 0:
         from myimagecaptioningmodel_tpu.ops.pallas.vocab_head import (
@@ -395,7 +445,8 @@ def greedy_decode_ids(
         def w_body(state):
             t, word, caches, ids, done = state
             x_last, caches = _decode_step(
-                params, pre, dims, word, caches, t, padding_idx, dt
+                params, pre, dims, word, caches, t, padding_idx, dt,
+                layers=layers_p,
             )
             next_word = jnp.where(done, padding_idx, argmax_head(x_last))
             ids = jax.lax.dynamic_update_slice(ids, next_word[:, None], (0, t))
@@ -410,7 +461,8 @@ def greedy_decode_ids(
     def body(carry, t):
         word, caches = carry
         x_last, caches = _decode_step(
-            params, pre, dims, word, caches, t, padding_idx, dt
+            params, pre, dims, word, caches, t, padding_idx, dt,
+            layers=layers_p,
         )
         next_word = argmax_head(x_last)
         return (next_word, caches), next_word
@@ -477,6 +529,7 @@ def beam_search_ids(
     )
     word0 = jnp.full((B * W,), start_idx, jnp.int32)
     caches0 = _init_cache(dims, B * W, max_length, dt)
+    layers_p = prepare_decode_layers(params)  # fused qkv, hoisted off the scan
     scores0 = jnp.tile(
         jnp.concatenate([jnp.zeros((1,)), jnp.full((W - 1,), NEG_INF)])[None, :],
         (B, 1),
@@ -488,7 +541,8 @@ def beam_search_ids(
     def body(carry, t):
         word, caches, scores, finished, lengths = carry
         x_last, caches = _decode_step(
-            params, pre_t, dims, word, caches, t, padding_idx, dt
+            params, pre_t, dims, word, caches, t, padding_idx, dt,
+            layers=layers_p,
         )
         if use_fused_head:
             proj = head_proj(params, x_last, dt)
