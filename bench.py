@@ -252,6 +252,25 @@ def main() -> None:
     except Exception as e:
         log(f"single-image diagnostic failed: {type(e).__name__}: {e}")
 
+    # --- second decoder family: transformer greedy decode -------------------
+    # (models/transformer.py, arch="transformer"; 70.9M decoder params vs the
+    # LSTM's ~10M — recorded so every round's BENCH covers both families; the
+    # transformer's train numbers live in benchmarks/bench_transformer.py)
+    try:
+        cfg_t = config_mod.replace_nested(cfg, "model.decoder.arch", "transformer")
+        opts_t = ModelOptions.from_config(cfg_t)
+        params_t, state_t = captioner.init(jax.random.PRNGKey(0), opts_t)
+        cps, pb = sustained_captions_per_sec(
+            lambda p, s, x: captioner.greedy_decode(p, s, x, opts_t),
+            params_t, state_t, images, ITERS,
+        )
+        extra["transformer_greedy_captions_per_sec"] = round(cps, 2)
+        log(f"transformer greedy decode, sustained: {cps:.1f} captions/s "
+            f"({pb * 1000:.1f} ms / batch of {BATCH})")
+        del params_t, state_t
+    except Exception as e:
+        log(f"transformer diagnostic failed: {type(e).__name__}: {e}")
+
     # diagnostic: train-step throughput (stderr only)
     try:
         import optax
