@@ -18,6 +18,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None, help="path to a JSON config")
     ap.add_argument("--bundle", default="infer", help="inference bundle name")
+    ap.add_argument("--mode", default="test", choices=["dev", "test"],
+                    help="which split to score (reference evaluates test)")
     ap.add_argument("--beam", type=int, default=0, help="beam size (0/1 = greedy)")
     ap.add_argument("--quantize", action="store_true", help="int8 decoder weights")
     ap.add_argument(
@@ -49,8 +51,8 @@ def main() -> None:
     # visible devices (the reference's eval ParallelExecutor behavior,
     # train.py:119-127); single-chip hosts run unsharded.
     evaluate_mod.evaluate(
-        cfg, bundle=args.bundle, beam_size=args.beam, quantize=args.quantize,
-        early_stop=args.early_stop, mesh="auto",
+        cfg, bundle=args.bundle, mode=args.mode, beam_size=args.beam,
+        quantize=args.quantize, early_stop=args.early_stop, mesh="auto",
         length_norm=args.length_norm,
     )
 
