@@ -475,6 +475,10 @@ def train(
                 if max_steps_per_epoch and nsteps >= max_steps_per_epoch:
                     break
         finally:
+            # Capture the in-flight exception BEFORE wait(): inside the
+            # `except` below, sys.exc_info() would report `werr` itself and
+            # the guard would always swallow background write failures.
+            unwinding = sys.exc_info()[1] is not None
             feeder.close()
             # land any in-flight rolling checkpoint before epoch-end writes
             # touch the same directory (and before a crash unwinds past it).
@@ -484,7 +488,7 @@ def train(
             try:
                 ckpt_writer.wait()
             except Exception as werr:
-                if sys.exc_info()[1] is not None:
+                if unwinding:
                     logger.log(
                         "WARNING: background checkpoint write failed while "
                         f"handling another error: {type(werr).__name__}: {werr}"

@@ -222,14 +222,111 @@ def test_grad_accum_under_dp_mesh_matches_mesh_oracle():
                                    rtol=1e-4, atol=1e-5)
 
 
+def _build_tiny_dataset(tmp_path, suffix="ds", n_images=12, **train_over):
+    """Synthetic build_all dataset + a loop.train-ready config (the
+    test_midepoch_resume recipe, shared here for loop-level feature tests)."""
+    import json
+
+    from PIL import Image
+
+    from myimagecaptioningmodel_tpu.data import dataset_gen
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir(exist_ok=True)
+    rng = np.random.RandomState(3)
+    phrases = ["一个 男人 在 打 篮球", "一只 猫 在 睡觉", "一个 女人 在 跑步"]
+    records = []
+    for i in range(n_images):
+        name = f"img_{i:02d}.jpg"
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+            img_dir / name
+        )
+        records.append({"image_id": name, "caption": [phrases[i % 3]]})
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps(records, ensure_ascii=False), encoding="utf-8")
+
+    out = tmp_path / "dataset"
+    cfg = config_mod.Config.from_dict(
+        {
+            "build_dataset": {
+                "image_paths": [str(img_dir)],
+                "annotation_path": str(ann),
+                "output_path": str(out),
+                "h5_name2idx": str(out / "name2idx.json"),
+            },
+            "data": {
+                "image_shape": [32, 32],
+                "dict_path": str(out),
+                "h5_path": [str(out)],
+                "h5_name2idx": str(out / "name2idx.json"),
+            },
+            "train": {
+                "seed": 0,
+                "learning_rate": 1e-3,
+                "batch_size": 2,
+                "max_epoch": 1,
+                "checkpoint_path": str(tmp_path / suffix / "save"),
+                "export_infer_model": False,
+                **train_over,
+            },
+            "model": {
+                "decoder": {
+                    "vocab_size": 0, "embedding_size": 8,
+                    "sentence_length": 0, "hidden_dim": 16,
+                    "infer_max_length": 6, "vocab_pad_multiple": 1,
+                },
+                "compute_dtype": "float32",
+            },
+            "log": {"log_path": str(tmp_path / suffix / "log")},
+        }
+    )
+    summary = dataset_gen.build_all(cfg, segmenter="space", split_seed=0)
+    cfg = config_mod.replace_nested(
+        cfg, "model.decoder.vocab_size", summary["tokenize"]["vocab_size"]
+    )
+    return config_mod.replace_nested(
+        cfg, "model.decoder.sentence_length", summary["tokenize"]["max_len"]
+    )
+
+
 def test_grad_accum_through_loop(tmp_path):
-    """loop.train validates divisibility and runs with grad_accum_steps set."""
+    """loop.train validates divisibility, and the happy path (accum=2 with
+    rolling async checkpoints) trains to completion and writes a resumable
+    checkpoint."""
+    import os
+
     import pytest
 
     from myimagecaptioningmodel_tpu.training import loop
 
     cfg = _tiny_cfg(grad_accum_steps=3, batch_size=4)
     with pytest.raises(ValueError, match="divisible"):
+        loop.train(cfg, mesh=None)
+
+    cfg = _build_tiny_dataset(
+        tmp_path, batch_size=4, grad_accum_steps=2, checkpoint_every_n_steps=1
+    )
+    loop.train(cfg, mesh=None)
+    ckpt_dir = os.path.join(cfg.train.checkpoint_path, "checkpoint")
+    assert os.path.exists(os.path.join(ckpt_dir, "COMMITTED"))
+
+
+def test_background_ckpt_write_failure_surfaces(tmp_path, monkeypatch):
+    """A background rolling-checkpoint write failure must fail the run even
+    when the epoch otherwise completes normally (regression: the old finally
+    block read sys.exc_info() *inside* its own except handler, which always
+    reported the writer's error and silently swallowed it)."""
+    import pytest
+
+    from myimagecaptioningmodel_tpu.training import checkpoint as ckpt
+    from myimagecaptioningmodel_tpu.training import loop
+
+    def failing_save(self, directory, params, opt_state, model_state, meta):
+        self._error = RuntimeError("simulated background write failure")
+
+    monkeypatch.setattr(ckpt.AsyncCheckpointWriter, "save", failing_save)
+    cfg = _build_tiny_dataset(tmp_path, checkpoint_every_n_steps=1)
+    with pytest.raises(RuntimeError, match="simulated background write"):
         loop.train(cfg, mesh=None)
 
 
