@@ -93,3 +93,24 @@ def test_train_loop_on_8_device_mesh(tmp_path):
     res_1d = evaluate_mod.evaluate(cfg, bundle="infer", mode="test")
     assert res_dp["bleu"] == pytest.approx(res_1d["bleu"], abs=1e-6)
     assert res_dp["cider"] == pytest.approx(res_1d["cider"], abs=1e-6)
+
+    # non-degenerate geometry (VERDICT r3 #7): global batch 64 -> per-shard
+    # batch 8 on the 8-device mesh PASSES the fused-kernel gate, so the
+    # degenerate-geometry warning must NOT fire — and the sharded metrics
+    # must still match a single-device run at the same batch size
+    # (evaluate pads the short final batch internally either way).
+    import warnings as warnings_mod
+
+    cfg64 = config_mod.replace_nested(cfg, "train.batch_size", 64)
+    with warnings_mod.catch_warnings(record=True) as caught:
+        warnings_mod.simplefilter("always")
+        res_dp64 = evaluate_mod.evaluate(
+            cfg64, bundle="infer", mode="test", mesh=mesh
+        )
+    gate_warnings = [
+        w for w in caught if "fused-kernel gate" in str(w.message)
+    ]
+    assert not gate_warnings, f"unexpected gate warning: {gate_warnings}"
+    res_164 = evaluate_mod.evaluate(cfg64, bundle="infer", mode="test")
+    assert res_dp64["bleu"] == pytest.approx(res_164["bleu"], abs=1e-6)
+    assert res_dp64["cider"] == pytest.approx(res_164["cider"], abs=1e-6)
