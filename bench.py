@@ -33,6 +33,16 @@ import numpy as np
 # XLA-CPU f32 greedy decode of the identical model (2026-08-16: 3.39
 # captions/s at batch 8; 0.49 at batch 1). See BASELINE.md for derivation.
 BASELINE_CAPTIONS_PER_SEC = 3.39
+
+# v5e per-chip peaks for the MFU / HBM-utilization diagnostics:
+# 197 TFLOP/s bf16 (MXU), 819 GB/s HBM. FLOPs/bytes numerators come from
+# XLA's compiled cost model (``compiled.cost_analysis()``), which includes
+# the Pallas kernels via their explicit pl.CostEstimate. "bytes accessed"
+# counts each post-fusion operand once — a fair HBM-traffic proxy, though
+# it overcounts buffers XLA keeps VMEM-resident across ops (so hbm_util is
+# an upper bound) and undercounts nothing.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
 BATCH = 128
 BEAM_BATCH = 32  # x beam 4 = 128 decode rows (>=256-row compiles can wedge
 #                  the dev-tunnel's remote compiler; see ROADMAP env notes)
@@ -70,20 +80,60 @@ def measure_dispatch_rtt(reps=10):
     return best
 
 
+def compiled_cost(compiled, per_calls=1):
+    """(flops, bytes_accessed) per logical call from an XLA ``compiled``
+    object's cost model, where the compiled program contains ``per_calls``
+    calls (an in-graph scan). Pallas kernels contribute via their explicit
+    ``pl.CostEstimate``. (0, 0) when the backend doesn't expose it."""
+    try:
+        c = compiled.cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return (
+            float(c.get("flops", 0.0)) / per_calls,
+            float(c.get("bytes accessed", 0.0)) / per_calls,
+        )
+    except Exception as e:
+        log(f"cost analysis unavailable: {type(e).__name__}: {e}")
+        return 0.0, 0.0
+
+
+def record_util(extra, prefix, flops, bytes_, seconds):
+    """Record {prefix}_mfu / {prefix}_hbm_util against v5e peaks (basis
+    documented at V5E_PEAK_BF16_FLOPS)."""
+    if seconds <= 0:
+        return
+    if flops:
+        extra[f"{prefix}_mfu"] = round(flops / seconds / V5E_PEAK_BF16_FLOPS, 4)
+    if bytes_:
+        extra[f"{prefix}_hbm_util"] = round(
+            bytes_ / seconds / V5E_HBM_BYTES_PER_S, 4
+        )
+    if flops or bytes_:
+        log(
+            f"{prefix}: {flops / 1e9:.2f} GFLOP, {bytes_ / 1e6:.1f} MB "
+            f"accessed per call over {seconds * 1000:.2f} ms -> "
+            f"MFU {extra.get(f'{prefix}_mfu', 0):.1%}, "
+            f"HBM util <= {extra.get(f'{prefix}_hbm_util', 0):.1%}"
+        )
+
+
 def sustained_captions_per_sec(decode_fn, params, state, images, iters,
-                               reps=3, rtt=0.0):
+                               reps=3, rtt=0.0, cost_out=None):
     """Device-sustained throughput: ``iters`` decodes inside ONE dispatch
     (lax.scan), each on a perturbed batch so nothing is CSE'd.
 
     Returns ``(captions_per_sec_device, per_batch_device_s, per_batch_wall_s)``
     where the device basis subtracts the measured empty-dispatch ``rtt``
     (one constant per dispatch — the dev tunnel's RPC round-trip, absent on
-    directly-attached chips) and the wall basis does not."""
+    directly-attached chips) and the wall basis does not.
+
+    ``cost_out``: optional dict; filled with per-decode ``flops`` /
+    ``bytes_accessed`` from the compiled program's XLA cost model."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def decode_k(p, s, x):
+    def decode_k_fn(p, s, x):
         def body(carry, k):
             xs = x + k.astype(jnp.float32) * 1e-6
             out = decode_fn(p, s, xs)
@@ -91,6 +141,14 @@ def sustained_captions_per_sec(decode_fn, params, state, images, iters,
 
         _, outs = jax.lax.scan(body, 0, jnp.arange(iters))
         return outs
+
+    # AOT lower->compile: one compile, reused for execution, and its cost
+    # model feeds the MFU/HBM-util diagnostics (no second compile)
+    decode_k = jax.jit(decode_k_fn).lower(params, state, images).compile()
+    if cost_out is not None:
+        flops, bytes_ = compiled_cost(decode_k, per_calls=iters)
+        cost_out["flops"] = flops
+        cost_out["bytes_accessed"] = bytes_
 
     jax.block_until_ready(decode_k(params, state, images))
     # best-of-reps: each rep is one device-side dispatch of `iters` decodes;
@@ -111,13 +169,16 @@ def sustained_captions_per_sec(decode_fn, params, state, images, iters,
 
 def sustained_train_images_per_sec(
     opts, optimizer, params, opt_state, state, images, caps,
-    train_iters=8, reps=3,
+    train_iters=8, reps=3, cost_out=None,
 ):
     """Device-sustained train throughput: ``train_iters`` FULL train steps
     (fwd + bwd + optimizer update) inside ONE dispatch via ``lax.scan``, each
     on a perturbed batch so nothing is CSE'd; best-of-``reps`` to reject
     host-contention/tunnel hiccups (same methodology as the decode helper).
     -> (images/s, seconds/step, first-run last loss).
+
+    ``cost_out``: optional dict; filled with per-step ``flops`` /
+    ``bytes_accessed`` from the compiled program's XLA cost model.
 
     NOTE: the inner jit uses ``donate_argnums=(0,)`` on the (params,
     opt_state, state) carry, so the *caller's* buffers for those three
@@ -144,10 +205,18 @@ def sustained_train_images_per_sec(
         return (optax.apply_updates(p, upd), no, ns), loss_k
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_k(carry):
+    def train_k_fn(carry):
         return jax.lax.scan(one_step, carry, jnp.arange(train_iters))
 
-    carry, losses = train_k((params, opt_state, state))  # compile + first run
+    # AOT compile so the same executable serves execution AND the MFU/HBM
+    # cost diagnostics (donation semantics are preserved by the jit wrapper)
+    train_k = train_k_fn.lower((params, opt_state, state)).compile()
+    if cost_out is not None:
+        flops, bytes_ = compiled_cost(train_k, per_calls=train_iters)
+        cost_out["flops"] = flops
+        cost_out["bytes_accessed"] = bytes_
+
+    carry, losses = train_k((params, opt_state, state))  # first run
     jax.block_until_ready(losses)
     first_loss = float(losses[-1])
     dt = float("inf")
@@ -200,9 +269,10 @@ def main() -> None:
         f"({dt / ITERS * 1000:.1f} ms / batch of {BATCH})")
 
     # Sustained device throughput (serving number): see helper docstring.
+    greedy_cost = {}
     captions_per_sec, per_batch, per_batch_wall = sustained_captions_per_sec(
         lambda p, s, x: captioner.greedy_decode(p, s, x, opts),
-        params, state, images, ITERS, rtt=rtt,
+        params, state, images, ITERS, rtt=rtt, cost_out=greedy_cost,
     )
     log(f"greedy decode, sustained: {captions_per_sec:.1f} captions/s "
         f"({per_batch * 1000:.2f} ms device / {per_batch_wall * 1000:.2f} ms "
@@ -210,12 +280,20 @@ def main() -> None:
 
     extra = {
         "basis": f"device time: {ITERS}-decode in-graph scan per dispatch, "
-                 "best-of-3 dispatches, minus measured empty-dispatch RTT",
+                 "best-of-3 dispatches, minus measured empty-dispatch RTT; "
+                 "mfu/hbm_util: XLA compiled cost model (flops & "
+                 "bytes-accessed incl. Pallas CostEstimates) over the device "
+                 "time — bytes-accessed counts each post-fusion operand "
+                 "once, so hbm_util is an upper bound on true HBM traffic",
         "measured_rtt_ms": round(rtt * 1000, 2),
         "greedy_ms_per_batch_device": round(per_batch * 1000, 3),
         "greedy_ms_per_batch_wall": round(per_batch_wall * 1000, 3),
         "greedy_captions_per_sec_wall": round(BATCH / per_batch_wall, 2),
     }
+    record_util(
+        extra, "greedy", greedy_cost.get("flops", 0.0),
+        greedy_cost.get("bytes_accessed", 0.0), per_batch,
+    )
 
     # --- serving variant: beam-4 (BASELINE config #2) -----------------------
     try:
@@ -282,21 +360,23 @@ def main() -> None:
     except Exception as e:
         log(f"early-stop diagnostic failed: {type(e).__name__}: {e}")
 
-    # diagnostic: single-image greedy latency (BASELINE config #1 shape)
+    # single-image greedy latency (BASELINE config #1). Two bases:
+    # - device: ITERS sequential B=1 decodes in ONE dispatch minus the
+    #   measured RTT — the honest on-chip latency (the B=1 batch is padded
+    #   to the fused kernel's 8-row gate inside greedy_decode_ids, so this
+    #   exercises the same fused Pallas step as serving batches);
+    # - wall: synchronous round-trips (RTT-dominated on the dev tunnel).
     try:
         img1 = images[:1]
-        dec1 = jax.jit(lambda p, s, x: captioner.greedy_decode(p, s, x, opts))
-        jax.block_until_ready(dec1(params, state, img1))
-        for _ in range(3):
-            jax.block_until_ready(dec1(params, state, img1))
-        t0 = time.time()
-        n1 = 20
-        for _ in range(n1):
-            jax.block_until_ready(dec1(params, state, img1))
+        _cps1, pb1, pb1_wall = sustained_captions_per_sec(
+            lambda p, s, x: captioner.greedy_decode(p, s, x, opts),
+            params, state, img1, ITERS, rtt=rtt,
+        )
+        extra["single_image_device_ms"] = round(pb1 * 1000, 3)
         log(
-            f"single-image greedy latency: {(time.time() - t0) / n1 * 1000:.2f} ms "
-            "(synchronous round-trips; dominated by the dev tunnel's RPC RTT "
-            "on this setup — on-device cost is a few ms)"
+            f"single-image greedy latency: {pb1 * 1000:.2f} ms device / "
+            f"{pb1_wall * 1000:.2f} ms wall (wall ~= device + tunnel RTT; "
+            "fused-kernel path via pad-to-8)"
         )
     except Exception as e:
         log(f"single-image diagnostic failed: {type(e).__name__}: {e}")
@@ -309,14 +389,44 @@ def main() -> None:
         cfg_t = config_mod.replace_nested(cfg, "model.decoder.arch", "transformer")
         opts_t = ModelOptions.from_config(cfg_t)
         params_t, state_t = captioner.init(jax.random.PRNGKey(0), opts_t)
+        cost_t = {}
         cps, pb, _ = sustained_captions_per_sec(
             lambda p, s, x: captioner.greedy_decode(p, s, x, opts_t),
-            params_t, state_t, images, ITERS, rtt=rtt,
+            params_t, state_t, images, ITERS, rtt=rtt, cost_out=cost_t,
         )
         extra["transformer_greedy_captions_per_sec"] = round(cps, 2)
         log(f"transformer greedy decode, sustained: {cps:.1f} captions/s "
             f"({pb * 1000:.1f} ms / batch of {BATCH})")
-        del params_t, state_t
+        record_util(
+            extra, "transformer_greedy", cost_t.get("flops", 0.0),
+            cost_t.get("bytes_accessed", 0.0), pb,
+        )
+
+        # transformer train throughput (VERDICT r3 #6): same sustained
+        # in-graph-scan methodology as the LSTM train diagnostic below
+        import optax as optax_t
+
+        caps_t = jnp.asarray(
+            rng.randint(
+                1, opts_t.tdims.vocab_size, (BATCH, opts_t.sentence_length)
+            ),
+            jnp.int32,
+        )
+        optimizer_t = optax_t.adam(5e-5)
+        opt_state_t = optimizer_t.init(params_t)
+        cost_tt = {}
+        t_ips, t_per_step, _tl = sustained_train_images_per_sec(
+            opts_t, optimizer_t, params_t, opt_state_t, state_t, images,
+            caps_t, train_iters=8, cost_out=cost_tt,
+        )
+        extra["transformer_train_images_per_sec"] = round(t_ips, 1)
+        log(f"transformer train, sustained (in-graph 8-step scan): "
+            f"{t_ips:.1f} images/s ({t_per_step * 1000:.1f} ms/step)")
+        record_util(
+            extra, "transformer_train", cost_tt.get("flops", 0.0),
+            cost_tt.get("bytes_accessed", 0.0), t_per_step,
+        )
+        del params_t, state_t, opt_state_t
     except Exception as e:
         log(f"transformer diagnostic failed: {type(e).__name__}: {e}")
 
@@ -358,15 +468,20 @@ def main() -> None:
         # sustained measurement — excludes the dev-tunnel RPC per-call cost
         # so the number reflects the chip, not the transport (VERDICT r2 #2).
         train_iters = 8
+        cost_tr = {}
         cps, per_step, _loss = sustained_train_images_per_sec(
             opts, optimizer, params, opt_state, state, images, caps,
-            train_iters=train_iters,
+            train_iters=train_iters, cost_out=cost_tr,
         )
         extra["train_images_per_sec_sustained"] = round(cps, 1)
         log(
             f"train, sustained (in-graph {train_iters}-step scan): "
             f"{cps:.1f} images/s ({per_step * 1000:.1f} ms/step; "
             f"per-call gap = transport/dispatch overhead)"
+        )
+        record_util(
+            extra, "train", cost_tr.get("flops", 0.0),
+            cost_tr.get("bytes_accessed", 0.0), per_step,
         )
     except Exception as e:  # diagnostics must never break the benchmark line
         log(f"train-step diagnostic failed: {type(e).__name__}: {e}")

@@ -69,7 +69,7 @@ def main() -> None:
     t0 = time.time()
     ids = jax.block_until_ready(decode(params, state, images))
     log(f"greedy compile+first run: {time.time()-t0:.1f}s, ids {ids.shape}")
-    cps, pb = sustained_captions_per_sec(
+    cps, pb, _ = sustained_captions_per_sec(
         lambda p, s, x: captioner.greedy_decode(p, s, x, opts),
         params, state, images, ITERS,
     )
@@ -80,7 +80,7 @@ def main() -> None:
     try:
         from myimagecaptioningmodel_tpu.inference.beam import beam_decode
 
-        cps_b, pb_b = sustained_captions_per_sec(
+        cps_b, pb_b, _ = sustained_captions_per_sec(
             lambda p, s, x: beam_decode(p, s, x, opts, BEAM)[0],
             params, state, images[:BEAM_BATCH], ITERS,
         )
@@ -102,7 +102,7 @@ def main() -> None:
 
         params_q = dict(params)
         params_q["decoder"] = quantize_transformer_decoder(params["decoder"])
-        cps_q, pb_q = sustained_captions_per_sec(
+        cps_q, pb_q, _ = sustained_captions_per_sec(
             lambda p, s, x: captioner.greedy_decode(p, s, x, opts),
             params_q, state, images, ITERS,
         )

@@ -445,8 +445,6 @@ def greedy_decode_ids(
     """
     B = pre.global_feat.shape[0]
     H = _dense_in_dim(params["p_hid"])
-    h0, c0 = _zero_state(B, H)
-    word0 = jnp.full((B,), start_idx, jnp.int32)
 
     # fully-fused step: the whole per-step body (gates + sentinel + attention
     # + out/proj + tied-vocab argmax) as ONE Pallas kernel with VMEM-resident
@@ -455,6 +453,26 @@ def greedy_decode_ids(
     # int8 params are dequantized once at prepare() (weights stay in VMEM
     # across all steps, so per-step HBM streaming — int8's win — is moot).
     use_pallas = use_pallas and pallas_dims_ok(params)
+    # Small/ragged batches are padded up to the kernel's 8-row tile gate so
+    # the single-image CLI (B=1 — BASELINE config #1, reference infer.py)
+    # runs the SAME fused kernel as serving batches instead of the unfused
+    # scan. Every step quantity is per-row, so zero-padded rows decode
+    # independent garbage that is sliced off at the end; under early_stop
+    # they start 'done' and can never hold the while_loop open.
+    orig_B = B
+    pad_rows = (-B) % 8 if (use_pallas and not parity_mode) else 0
+    if pad_rows:
+        pre = Precomputed(
+            *(
+                jnp.concatenate(
+                    [x, jnp.zeros((pad_rows,) + x.shape[1:], x.dtype)]
+                )
+                for x in pre
+            )
+        )
+        B += pad_rows
+    h0, c0 = _zero_state(B, H)
+    word0 = jnp.full((B,), start_idx, jnp.int32)
     use_fused = (
         use_pallas
         and not parity_mode
@@ -481,6 +499,8 @@ def greedy_decode_ids(
             # fixed-length scan's ids even when padding_idx != 0
             ids0 = jnp.full((B, max_length), padding_idx, jnp.int32)
             done0 = jnp.zeros((B,), bool)
+            if pad_rows:
+                done0 = done0.at[orig_B:].set(True)
 
             def f_cond(state):
                 t, _h, _c, _w, _ids, done = state
@@ -499,7 +519,7 @@ def greedy_decode_ids(
             _, _, _, _, ids, _ = jax.lax.while_loop(
                 f_cond, f_body, (jnp.int32(0), h0, c0, word0, ids0, done0)
             )
-            return ids
+            return ids[:orig_B]
 
         def fused_body(carry, _):
             h, c, word = carry
@@ -509,7 +529,7 @@ def greedy_decode_ids(
         _, ids_tm = jax.lax.scan(
             fused_body, (h0, c0, word0), None, length=max_length
         )
-        return jnp.transpose(ids_tm, (1, 0))
+        return jnp.transpose(ids_tm, (1, 0))[:orig_B]
 
     if use_pallas:
         from myimagecaptioningmodel_tpu.ops.pallas.vocab_head import (

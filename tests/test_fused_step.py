@@ -132,3 +132,40 @@ def test_fused_greedy_scan_matches_unfused(setup):
         padding_idx=0, compute_dtype=jnp.float32, use_pallas=False,
     )
     np.testing.assert_array_equal(np.asarray(ids_fused), np.asarray(ids_ref))
+
+
+@pytest.mark.parametrize("small_b", [1, 5])
+@pytest.mark.parametrize("early_stop", [False, True])
+def test_fused_greedy_pads_small_batches(setup, small_b, early_stop):
+    """Batches below/off the 8-row tile gate are PADDED into the fused
+    kernel (the single-image CLI fast path — BASELINE config #1): the
+    kernel must see a padded batch and the real rows' ids must equal the
+    unfused scan's, for both the fixed-length and early-stop decodes."""
+    dims, params, pre, B, H = setup
+    pre_s = D.Precomputed(*(x[:small_b] for x in pre))
+    import myimagecaptioningmodel_tpu.ops.pallas.fused_step as fs_mod
+
+    orig = fs_mod.fused_decode_step
+    seen_batches = []
+
+    def interp(fp, word_emb, *args, **kw):
+        kw["interpret"] = True
+        seen_batches.append(word_emb.shape[0])
+        return orig(fp, word_emb, *args, **kw)
+
+    fs_mod.fused_decode_step = interp
+    try:
+        ids_fused = D.greedy_decode_ids(
+            params, pre_s, max_length=6, start_idx=2, parity_mode=False,
+            padding_idx=0, compute_dtype=jnp.float32, use_pallas=True,
+            early_stop=early_stop,
+        )
+    finally:
+        fs_mod.fused_decode_step = orig
+    assert seen_batches and all(b == 8 for b in seen_batches), seen_batches
+    assert ids_fused.shape == (small_b, 6)
+    ids_ref = D.greedy_decode_ids(
+        params, pre_s, max_length=6, start_idx=2, parity_mode=False,
+        padding_idx=0, compute_dtype=jnp.float32, use_pallas=False,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_fused), np.asarray(ids_ref))
