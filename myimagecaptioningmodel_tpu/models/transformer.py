@@ -400,9 +400,48 @@ def greedy_decode_ids(
 ) -> jnp.ndarray:
     """Greedy decode -> ids [B, max_length]; mirrors the LSTM family's
     contract (fixed-length scan by default; ``early_stop`` switches to a
-    while_loop that exits at all-<stop>, post-stop positions = <pad>)."""
+    while_loop that exits at all-<stop>, post-stop positions = <pad>).
+
+    On TPU at production dims the fixed-length decode dispatches the
+    whole-decode fused Pallas kernel (ops/pallas/fused_transformer.py): all
+    steps, layers, the tied-vocab argmax and the next-word embedding run as
+    ONE Pallas program — KV caches live in VMEM scratch, layer weights and
+    cross-attention K/V double-buffer from HBM. Small/ragged batches are
+    padded to the 8-row gate (single-image CLI) and sliced back; identical
+    ids to the XLA path (tests/test_fused_transformer.py)."""
     B = pre.batch
     dt = jnp.dtype(compute_dtype)
+
+    if use_pallas and not early_stop:
+        from myimagecaptioningmodel_tpu.ops.pallas import (
+            fused_transformer as FT,
+        )
+
+        orig_B = B
+        pad_rows = (-B) % 8
+        if FT.fused_dims_ok(params, dims, B + pad_rows, max_length):
+            pre_p = pre
+            if pad_rows:
+                pre_p = TransformerPre(
+                    tuple(
+                        jnp.concatenate(
+                            [k, jnp.zeros((pad_rows,) + k.shape[1:], k.dtype)]
+                        )
+                        for k in pre.mem_k
+                    ),
+                    tuple(
+                        jnp.concatenate(
+                            [v, jnp.zeros((pad_rows,) + v.shape[1:], v.dtype)]
+                        )
+                        for v in pre.mem_v
+                    ),
+                )
+            ftp = FT.prepare(params, pre_p, dims.num_heads, dt)
+            ids = FT.fused_greedy_decode(
+                ftp, max_length, dims.num_heads, start_idx, padding_idx, dt
+            )
+            return ids[:orig_B]
+
     word0 = jnp.full((B,), start_idx, jnp.int32)
     caches0 = _init_cache(dims, B, max_length, dt)
     layers_p = prepare_decode_layers(params)  # fused qkv, hoisted off the scan

@@ -1,0 +1,173 @@
+"""Equivalence tests for the whole-decode fused transformer kernel
+(ops/pallas/fused_transformer.py) against the XLA KV-cached scan path it
+replaces (models/transformer.py greedy_decode_ids, use_pallas=False) —
+id-for-id in f32 via interpret mode; the bf16 on-chip equality is pinned by
+benchmarks/verify_fused_transformer_onchip.py (the suite is CPU-only)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myimagecaptioningmodel_tpu.models import transformer as TF
+from myimagecaptioningmodel_tpu.models.transformer import (
+    TransformerDims,
+    TransformerPre,
+)
+from myimagecaptioningmodel_tpu.ops.pallas import fused_transformer as FT
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # smallest dims that pass fused_dims_ok: D/E 128-aligned, dh=128,
+    # padded vocab >= 2048; M=6 exercises the single-chunk mem path,
+    # T=5 < max_positions exercises the clamped last-step embed
+    dims = TransformerDims(
+        vocab_size=2050, embedding_size=128, model_dim=256, num_layers=2,
+        num_heads=2, mlp_ratio=2, max_positions=6, vocab_pad_multiple=2,
+    )
+    params = TF.init(jax.random.PRNGKey(0), dims)
+    rng = np.random.RandomState(0)
+    B, M = 8, 6
+    img_embed = jnp.asarray(rng.rand(B, M - 1, dims.model_dim), jnp.float32)
+    global_feat = jnp.asarray(rng.rand(B, dims.model_dim), jnp.float32)
+    pre = TF.precompute(
+        params, img_embed, global_feat, dims.num_heads, jnp.float32
+    )
+    assert FT.fused_dims_ok(params, dims, B, 5)
+    return dims, params, pre, B
+
+
+def _interp_fused(monkeypatch):
+    orig = FT.fused_greedy_decode
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(FT, "fused_greedy_decode", interp)
+    return orig
+
+
+def test_fused_decode_matches_xla_f32(setup, monkeypatch):
+    """Whole-decode kernel (interpret) == the XLA KV-cached scan, id-for-id
+    in f32 (bf16 rounding points become no-ops, so the paths are exact)."""
+    dims, params, pre, B = setup
+    _interp_fused(monkeypatch)
+    ids_fused = TF.greedy_decode_ids(
+        params, pre, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=True,
+    )
+    ids_ref = TF.greedy_decode_ids(
+        params, pre, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=False,
+    )
+    assert ids_fused.shape == (B, 5)
+    np.testing.assert_array_equal(np.asarray(ids_fused), np.asarray(ids_ref))
+
+
+@pytest.mark.parametrize("small_b", [1, 3])
+def test_fused_decode_pads_small_batches(setup, monkeypatch, small_b):
+    """B below the 8-row gate is padded into the kernel and sliced back —
+    the transformer analog of the LSTM family's single-image fast path."""
+    dims, params, pre, B = setup
+    _interp_fused(monkeypatch)
+    pre_s = TransformerPre(
+        tuple(k[:small_b] for k in pre.mem_k),
+        tuple(v[:small_b] for v in pre.mem_v),
+    )
+    ids_fused = TF.greedy_decode_ids(
+        params, pre_s, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=True,
+    )
+    ids_ref = TF.greedy_decode_ids(
+        params, pre_s, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=False,
+    )
+    assert ids_fused.shape == (small_b, 5)
+    np.testing.assert_array_equal(np.asarray(ids_fused), np.asarray(ids_ref))
+
+
+def test_fused_decode_multi_mem_chunks(monkeypatch):
+    """M > 32 exercises the 2-chunk cross-attention DMA stream."""
+    dims = TransformerDims(
+        vocab_size=2050, embedding_size=128, model_dim=256, num_layers=1,
+        num_heads=2, mlp_ratio=2, max_positions=4, vocab_pad_multiple=2,
+    )
+    params = TF.init(jax.random.PRNGKey(1), dims)
+    rng = np.random.RandomState(1)
+    B, M = 8, 50
+    img_embed = jnp.asarray(rng.rand(B, M - 1, dims.model_dim), jnp.float32)
+    global_feat = jnp.asarray(rng.rand(B, dims.model_dim), jnp.float32)
+    pre = TF.precompute(
+        params, img_embed, global_feat, dims.num_heads, jnp.float32
+    )
+    _interp_fused(monkeypatch)
+    ids_fused = TF.greedy_decode_ids(
+        params, pre, dims, max_length=3, compute_dtype=jnp.float32,
+        use_pallas=True,
+    )
+    ids_ref = TF.greedy_decode_ids(
+        params, pre, dims, max_length=3, compute_dtype=jnp.float32,
+        use_pallas=False,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_fused), np.asarray(ids_ref))
+
+
+def test_int8_prepare_equals_dequantized_prepare(setup):
+    """int8 params pack to the same streaming tensors as their dequantized
+    f32 view — the fused kernel therefore decodes the quantized artifact
+    with the dequant-at-prepare semantics the LSTM family established."""
+    dims, params, pre, B = setup
+    q = TF.quantize_transformer_decoder(params)
+    ftp_q = FT.prepare(q, pre, dims.num_heads, jnp.float32)
+    # dequantized oracle params: materialize the f32 views, re-prepare
+    from myimagecaptioningmodel_tpu.ops.quantization import (
+        dense_weight,
+        embedding_table,
+    )
+
+    def dq(p):
+        if "w_q" in p:
+            out = {"w": dense_weight(p)}
+            if "b" in p:
+                out["b"] = p["b"]
+            return out
+        if "table_q" in p:
+            return {"table": embedding_table(p)}
+        return p
+
+    params_dq = dict(q)
+    params_dq["embedding"] = dq(q["embedding"])
+    params_dq["in_proj"] = dq(q["in_proj"])
+    params_dq["out_proj"] = dq(q["out_proj"])
+    params_dq["layers"] = tuple(
+        {
+            name: (sub if name.startswith("ln") else {k: dq(v) for k, v in sub.items()})
+            for name, sub in layer.items()
+        }
+        for layer in q["layers"]
+    )
+    ftp_dq = FT.prepare(params_dq, pre, dims.num_heads, jnp.float32)
+    for a, b in zip(ftp_q, ftp_dq):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, rtol=0)
+
+
+def test_gate_rejects_tiny_and_early_stop(setup):
+    dims, params, pre, B = setup
+    tiny = TransformerDims(
+        vocab_size=50, embedding_size=8, model_dim=16, num_layers=1,
+        num_heads=2, mlp_ratio=2, max_positions=4,
+    )
+    tiny_params = TF.init(jax.random.PRNGKey(2), tiny)
+    assert not FT.fused_dims_ok(tiny_params, tiny, 8, 3)
+    # max_length beyond the learned positions must be rejected
+    assert not FT.fused_dims_ok(params, dims, 8, 99)
+    # early_stop keeps the XLA while_loop path — the fused-decode dispatch
+    # is syntactically gated on ``not early_stop`` (use_pallas=False here
+    # because the remaining fused VOCAB-HEAD path is TPU-only)
+    ids = TF.greedy_decode_ids(
+        params, pre, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=False, early_stop=True,
+    )
+    assert ids.shape == (B, 5)
