@@ -142,6 +142,11 @@ class EncoderConfig:
     encoder_trainable: bool = True
     encoder_dim: int = 7 * 7  # spatial positions k (fixed by MobileNetV2 @224)
     encoder_channel: int = 1280
+    # MobileNetV2 width multiplier (reference MobileNetV2.py:24 ``scale``;
+    # the reference instantiates x1.0 only, train.py via the model facade).
+    # For scale <= 1.0 the final 1x1 conv still emits 1280 channels
+    # (MobileNetV2.py:74-81), so encoder_channel stays valid.
+    encoder_scale: float = 1.0
 
 
 @dataclass(frozen=True)

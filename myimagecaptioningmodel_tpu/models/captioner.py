@@ -50,6 +50,8 @@ class ModelOptions(NamedTuple):
     start_idx: int = 2
     padding_idx: int = 0
     encoder_trainable: bool = True
+    # MobileNetV2 width multiplier (reference MobileNetV2.py:24)
+    encoder_scale: float = 1.0
     parity_mode: bool = False
     compute_dtype: str = "bfloat16"
     use_pallas: bool = False  # fused Pallas kernels on the decode path (TPU)
@@ -94,6 +96,7 @@ class ModelOptions(NamedTuple):
             start_idx=cfg.data.start_idx,
             padding_idx=cfg.data.padding_idx,
             encoder_trainable=md.encoder.encoder_trainable,
+            encoder_scale=float(getattr(md.encoder, "encoder_scale", 1.0)),
             parity_mode=md.parity_mode,
             compute_dtype=md.compute_dtype,
             use_pallas=_on_tpu(),
@@ -114,7 +117,7 @@ def init(key, opts: ModelOptions) -> Tuple[Params, State]:
     """Initialize the full model: returns ({encoder, img_embed, img_global,
     decoder} params, {encoder} BN state)."""
     k_enc, k_proj_e, k_proj_g, k_dec = jax.random.split(key, 4)
-    enc_params, enc_state = mobilenet_v2.init(k_enc)
+    enc_params, enc_state = mobilenet_v2.init(k_enc, scale=opts.encoder_scale)
     H, C = opts.dims.hidden_dim, opts.dims.feat_channels
     if opts.arch == "transformer":
         dec = transformer_mod.init(k_dec, opts.tdims)
@@ -168,6 +171,7 @@ def img2feature(
         train=train,
         trainable=opts.encoder_trainable,
         compute_dtype=dt,
+        scale=opts.encoder_scale,
         safe_depthwise=opts.safe_depthwise,
         fuse_bn_stats=opts.fuse_bn_stats,
     )

@@ -183,6 +183,23 @@ def test_mobilenet_shapes_and_state_update():
     )
 
 
+def test_mobilenet_width_multiplier():
+    """Width multiplier (reference MobileNetV2.py:24 ``scale``): the trunk
+    thins with scale but the final 1x1 conv keeps emitting 1280 channels for
+    scale <= 1.0 (MobileNetV2.py:74-81), so downstream projection dims hold."""
+    params, state = mobilenet_v2.init(jax.random.PRNGKey(0), scale=0.5)
+    assert params["conv1_1"]["conv"]["w"].shape[-1] == 16  # 32 * 0.5
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), F32)
+    y, _ = mobilenet_v2.apply(
+        params, state, x, train=False, scale=0.5, compute_dtype=F32
+    )
+    assert y.shape == (2, 2, 2, 1280)
+    # scale > 1.0 widens the head too: int(1280 * 1.5) = 1920
+    p2, s2 = mobilenet_v2.init(jax.random.PRNGKey(1), scale=1.5)
+    y2, _ = mobilenet_v2.apply(p2, s2, x, train=False, scale=1.5, compute_dtype=F32)
+    assert y2.shape == (2, 2, 2, 1920)
+
+
 # ---- full captioner ----------------------------------------------------------
 
 
@@ -264,6 +281,22 @@ def test_frozen_encoder_zero_grads(tiny_model):
     )
     assert enc_norm == 0.0
     assert dec_norm > 0.0
+
+
+def test_captioner_encoder_scale_trains_and_decodes():
+    """encoder_scale wires the MobileNetV2 width multiplier through the
+    facade: a x0.5 trunk still feeds the 1280-ch projection, trains, and
+    greedy-decodes (reference instantiates x1.0 only; MobileNetV2.py:24)."""
+    opts = tiny_opts(encoder_scale=0.5)
+    params, state = captioner.init(jax.random.PRNGKey(0), opts)
+    assert params["encoder"]["conv1_1"]["conv"]["w"].shape[-1] == 16
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 64, 64, 3), F32)
+    caps = jnp.asarray([[2, 5, 7, 3, 0], [2, 9, 3, 0, 0]], jnp.int32)
+    loss, _ = captioner.loss_fn(params, state, images, caps, opts)
+    assert np.isfinite(float(loss))
+    ids = captioner.greedy_decode(params, state, images, opts)
+    assert ids.shape == (2, opts.infer_max_length)
 
 
 def test_greedy_decode_full_model(tiny_model):
