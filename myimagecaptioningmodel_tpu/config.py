@@ -192,6 +192,13 @@ class ModelConfig:
     # most of the activation footprint. Identical numerics to the unfused
     # path (tests/test_fused_bn_stats.py).
     fuse_bn_stats: bool = False
+    # training-only APPROXIMATION (opt-in): compute BN batch statistics
+    # (and the scale/offset gradient estimates) from only the first R
+    # images of the batch, with stats treated as constants in backward —
+    # cuts the BN activation-pass count on TPU at the cost of gradient-
+    # estimate noise (ops/layers.py ``_bn_train_subset``). 0 = exact
+    # reference semantics (MobileNetV2.py:112-117 batch_norm).
+    bn_stat_rows: int = 0
 
 
 @dataclass(frozen=True)

@@ -61,6 +61,9 @@ class ModelOptions(NamedTuple):
     # fold BN batch-stats into the output pass of the encoder's 1x1 convs
     # (Pallas matmul+stats kernel, ops/pallas/matmul_bn.py) — training only
     fuse_bn_stats: bool = False
+    # opt-in approximate BN: batch stats (and dscale/doffset estimates)
+    # from the first R images only; 0 = exact (ops/layers.py)
+    bn_stat_rows: int = 0
     # lax.while_loop greedy decode that exits once all rows emitted <stop>
     # (identical captions, ~halves average serving latency on trained models)
     early_stop_decode: bool = False
@@ -101,6 +104,7 @@ class ModelOptions(NamedTuple):
             compute_dtype=md.compute_dtype,
             use_pallas=_on_tpu(),
             fuse_bn_stats=getattr(md, "fuse_bn_stats", False),
+            bn_stat_rows=int(getattr(md, "bn_stat_rows", 0)),
             stop_idx=cfg.data.stop_idx,
             image_norm=(
                 tuple(float(m) for m in cfg.data.image_mean),
@@ -174,6 +178,7 @@ def img2feature(
         scale=opts.encoder_scale,
         safe_depthwise=opts.safe_depthwise,
         fuse_bn_stats=opts.fuse_bn_stats,
+        bn_stat_rows=opts.bn_stat_rows,
     )
     B = feat.shape[0]
     feat = feat.reshape(B, -1, feat.shape[-1])  # [B, 49, 1280] (NHWC flatten)

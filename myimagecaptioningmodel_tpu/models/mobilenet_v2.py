@@ -48,7 +48,7 @@ def _init_conv_bn(key, in_ch: int, out_ch: int, kernel: int, groups: int = 1):
 def _apply_conv_bn(
     p, s, x, stride: int, padding: int, groups: int, if_act: bool,
     train: bool, compute_dtype, safe_depthwise: bool = False,
-    fuse_bn_stats: bool = False,
+    fuse_bn_stats: bool = False, bn_stat_rows: int = 0,
 ):
     w = p["conv"]["w"]
     if (
@@ -67,7 +67,7 @@ def _apply_conv_bn(
     else:
         x = L.conv2d(p["conv"], x, stride, padding, groups, compute_dtype,
                      safe_depthwise=safe_depthwise)
-        x, bn_s = L.batch_norm(p["bn"], s["bn"], x, train)
+        x, bn_s = L.batch_norm(p["bn"], s["bn"], x, train, bn_stat_rows)
     if if_act:
         x = L.relu6(x)
     return x, {"bn": bn_s}
@@ -113,6 +113,7 @@ def apply(
     use_fused_irb: bool = False,
     safe_depthwise: bool = False,
     fuse_bn_stats: bool = False,
+    bn_stat_rows: int = 0,
 ) -> Tuple[jnp.ndarray, State]:
     """Forward pass -> ([B,7,7,1280] features or [B,1280] pooled, new state).
 
@@ -136,7 +137,7 @@ def apply(
     def conv_bn(name, x, stride, padding, groups=1, if_act=True):
         y, s = _apply_conv_bn(
             params[name], state[name], x, stride, padding, groups, if_act,
-            train, compute_dtype, safe_depthwise, fuse_bn_stats,
+            train, compute_dtype, safe_depthwise, fuse_bn_stats, bn_stat_rows,
         )
         new_state[name] = s
         return y

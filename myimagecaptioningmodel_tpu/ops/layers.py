@@ -241,6 +241,77 @@ def _bn_train_bwd(res, cts):
 _bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
 
 
+# --- opt-in approximate BN: subset statistics + decoupled backward ------------
+#
+# The full-semantics BN above is at its activation-pass floor on TPU (six
+# passes over every conv output; the dominant fusion measured at 93% of HBM
+# peak — benchmarks/train_roofline.md). The ONLY way to cut BN's HBM traffic
+# further is to change what is computed. ``bn_stat_rows = R > 0`` does so in
+# three places, each bounded and documented:
+#
+#   1. batch statistics from the first R images only (the same class of
+#      approximation data-parallel BN already makes: per-device stats ARE a
+#      subset of the global batch) — the stats pass reads R/B of the batch;
+#   2. mu/sigma treated as constants in backward (no gradient coupling
+#      through the statistics), making dx = scale*inv*dy purely elementwise
+#      so XLA fuses it into the adjacent relu6/conv-backward chain instead
+#      of a separate full read(dy,xhat)+write(dx) pass;
+#   3. dscale/doffset estimated from the same R rows (scaled by B/R so the
+#      expectation matches), shrinking the backward reduction read to R/B.
+#
+# Training contract change: gradients are unbiased estimates w.r.t. the
+# subset, and the mean/var pull-through term (a weak regularizer) is
+# dropped. Convergence is validated on the synthetic corpora
+# (tests/test_train_features.py); default stays 0 = exact reference
+# semantics.
+
+
+def _bn_subset_fwd_math(scale, offset, x, R):
+    sd = _stat_dtype(x)
+    xs = x[:R].astype(sd)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(xs, axes)
+    mean_sq = jnp.mean(jnp.square(xs), axes)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = ((x.astype(sd) - mean) * (inv * scale) + offset).astype(x.dtype)
+    return y, mean, var, inv
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bn_train_subset(scale, offset, x, stat_rows: int):
+    y, mean, var, _inv = _bn_subset_fwd_math(scale, offset, x, stat_rows)
+    return y, mean, var
+
+
+def _bn_train_subset_fwd(scale, offset, x, stat_rows):
+    y, mean, var, inv = _bn_subset_fwd_math(scale, offset, x, stat_rows)
+    # residual keeps only the R stat rows of x — the backward never touches
+    # the other B-R rows of the activation
+    return (y, mean, var), (scale, x[:stat_rows], mean, inv, x.shape[0])
+
+
+def _bn_train_subset_bwd(stat_rows, res, cts):
+    scale, xs, mean, inv, n_full = res
+    dy, _dmean, _dvar = cts
+    sd = _stat_dtype(xs)
+    axes = tuple(range(xs.ndim - 1))
+    dyS = dy[:stat_rows].astype(sd)
+    xhatS = (xs.astype(sd) - mean) * inv
+    ratio = n_full / stat_rows  # unbiased-expectation scaling
+    doffset = jnp.sum(dyS, axes) * ratio
+    dscale = jnp.sum(dyS * xhatS, axes) * ratio
+    # stats are constants in backward: dx is elementwise in dy
+    dx = (dy.astype(sd) * (scale * inv)).astype(dy.dtype)
+    return dscale, doffset, dx
+
+
+_bn_train_subset.defvjp(_bn_train_subset_fwd, _bn_train_subset_bwd)
+
+
 def init_batch_norm(num_ch: int) -> Tuple[Params, Params]:
     """Returns (params, state): learnable scale/offset + moving stats."""
     params = {
@@ -259,6 +330,7 @@ def batch_norm(
     s: Params,
     x: jnp.ndarray,
     train: bool,
+    stat_rows: int = 0,
 ) -> Tuple[jnp.ndarray, Params]:
     """BN over all but the channel (last) axis; float32 statistics.
 
@@ -267,9 +339,18 @@ def batch_norm(
     moving stats. Running stats live in an explicit state pytree — the
     functional replacement for Paddle's moving_mean/variance variables
     (MobileNetV2.py:112-117, SURVEY §2.4).
+
+    ``stat_rows = R > 0`` opts into the approximate subset-statistics BN
+    (see ``_bn_train_subset``) when the batch is larger than R; default 0
+    keeps exact reference semantics.
     """
     if train:
-        y, mean, var = _bn_train(p["scale"], p["offset"], x)
+        if 0 < stat_rows < x.shape[0]:
+            y, mean, var = _bn_train_subset(
+                p["scale"], p["offset"], x, stat_rows
+            )
+        else:
+            y, mean, var = _bn_train(p["scale"], p["offset"], x)
         new_s = {
             "mean": BN_MOMENTUM * s["mean"] + (1.0 - BN_MOMENTUM) * mean,
             "var": BN_MOMENTUM * s["var"] + (1.0 - BN_MOMENTUM) * var,

@@ -183,6 +183,76 @@ def test_mobilenet_shapes_and_state_update():
     )
 
 
+def test_bn_subset_stats_matches_oracle():
+    """Opt-in subset-statistics BN (ops/layers.py ``_bn_train_subset``):
+    forward normalizes ALL rows with stats from the first R; backward is the
+    documented decoupled estimate (dx = scale*inv*dy elementwise;
+    dscale/doffset from the R rows scaled by B/R)."""
+    from myimagecaptioningmodel_tpu.ops import layers as L
+
+    rng = np.random.RandomState(0)
+    B, R, C = 6, 2, 8
+    x = jnp.asarray(rng.randn(B, 4, 4, C), F32)
+    scale = jnp.asarray(rng.rand(C) + 0.5, F32)
+    offset = jnp.asarray(rng.randn(C), F32)
+
+    (y, mean, var), vjp = jax.vjp(
+        lambda sc, of, xx: L._bn_train_subset(sc, of, xx, R), scale, offset, x
+    )
+    xs = np.asarray(x)[:R].reshape(-1, C)
+    mean_np = xs.mean(0)
+    var_np = np.maximum((xs ** 2).mean(0) - mean_np ** 2, 0.0)
+    inv_np = 1.0 / np.sqrt(var_np + L.BN_EPS)
+    np.testing.assert_allclose(_np(mean), mean_np, rtol=1e-5)
+    np.testing.assert_allclose(_np(var), var_np, rtol=1e-5)
+    y_np = (np.asarray(x) - mean_np) * (inv_np * np.asarray(scale)) + np.asarray(offset)
+    np.testing.assert_allclose(_np(y), y_np, rtol=1e-4, atol=1e-5)
+
+    dy = jnp.asarray(rng.randn(*y.shape), F32)
+    dscale, doffset, dx = vjp((dy, jnp.zeros_like(mean), jnp.zeros_like(var)))
+    dy_np = np.asarray(dy)
+    ratio = B / R
+    dyS = dy_np[:R].reshape(-1, C)
+    xhatS = (xs - mean_np) * inv_np
+    np.testing.assert_allclose(_np(doffset), dyS.sum(0) * ratio, rtol=1e-4)
+    np.testing.assert_allclose(
+        _np(dscale), (dyS * xhatS).sum(0) * ratio, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        _np(dx), dy_np * (np.asarray(scale) * inv_np), rtol=1e-4, atol=1e-5
+    )
+
+    # batch_norm dispatch: R >= B (or 0) takes the exact path
+    p = {"scale": scale, "offset": offset}
+    s = {"mean": jnp.zeros(C), "var": jnp.ones(C)}
+    y_exact, _ = L.batch_norm(p, s, x, train=True, stat_rows=0)
+    y_full, _ = L.batch_norm(p, s, x, train=True, stat_rows=B)
+    np.testing.assert_array_equal(_np(y_exact), _np(y_full))
+
+
+def test_bn_subset_stats_trains():
+    """A captioner with bn_stat_rows set still trains (loss decreases) —
+    the convergence contract for the opt-in approximation."""
+    opts = tiny_opts(bn_stat_rows=2)
+    params, state = captioner.init(jax.random.PRNGKey(0), opts)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(4, 64, 64, 3), F32)
+    caps = jnp.asarray(
+        [[2, 5, 7, 3, 0], [2, 9, 3, 0, 0], [2, 4, 6, 3, 0], [2, 8, 3, 0, 0]],
+        jnp.int32,
+    )
+
+    def loss_of(p):
+        return captioner.loss_fn(p, state, images, caps, opts)[0]
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_of))
+    loss0, grads = grad_fn(params)
+    assert np.isfinite(float(loss0))
+    params2 = jax.tree_util.tree_map(lambda p, g: p - 0.05 * g, params, grads)
+    loss1, _ = grad_fn(params2)
+    assert float(loss1) < float(loss0)
+
+
 def test_mobilenet_width_multiplier():
     """Width multiplier (reference MobileNetV2.py:24 ``scale``): the trunk
     thins with scale but the final 1x1 conv keeps emitting 1280 channels for
