@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Per-stage timing attribution for the whole-decode fused transformer
+kernel (ops/pallas/fused_transformer.py), via its static `_ABLATE` probe
+hook: compile the kernel with one stage skipped and charge the delta to
+that stage. HBM floor for reference: ~117 MB layer weights + ~52 MB
+cross-attn K/V per step / 819 GB/s = ~207 us/step = ~7.2 ms/batch-35.
+
+Run: python benchmarks/probe_fused_transformer.py [ablation ...]
+     (default: full noselfattn noxattn nohead noembed)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = 128
+ITERS = 20
+REPS = 3
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from myimagecaptioningmodel_tpu import config as config_mod
+    from myimagecaptioningmodel_tpu.models import captioner
+    from myimagecaptioningmodel_tpu.models import transformer as TF
+    from myimagecaptioningmodel_tpu.models.captioner import ModelOptions
+    from myimagecaptioningmodel_tpu.ops.pallas import fused_transformer as FT
+
+    variants = sys.argv[1:] or [
+        "full", "noselfattn", "noxattn", "nohead", "noembed"
+    ]
+    log(f"device: {jax.devices()[0]}")
+    cfg = config_mod.replace_nested(
+        config_mod.Config(), "model.decoder.arch", "transformer"
+    )
+    opts = ModelOptions.from_config(cfg)
+    params, state = captioner.init(jax.random.PRNGKey(0), opts)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(BATCH, 224, 224, 3), jnp.float32)
+
+    # encoder features -> packed decode-invariants, once
+    img_embed, _feat, global_feat, _ = captioner.img2feature(
+        params, state, images, opts, train=False
+    )
+    tpre = TF.precompute(
+        params["decoder"], img_embed, global_feat, opts.tdims.num_heads,
+        opts.dtype,
+    )
+    ftp = FT.prepare(params["decoder"], tpre, opts.tdims.num_heads, opts.dtype)
+    ftp = jax.block_until_ready(ftp)
+    T = opts.infer_max_length
+
+    # int8 artifact: same packing path, weight streams stay int8 in HBM
+    ftp8 = FT.prepare(
+        TF.quantize_transformer_decoder(params["decoder"]),
+        tpre, opts.tdims.num_heads, opts.dtype,
+    )
+    ftp8 = jax.block_until_ready(ftp8)
+
+    results = {}
+    for name in variants:
+        # tuning variants: "tune-<mem_slots>-<w_slots>-<mem_chunk>"
+        if name.startswith("tune-"):
+            ms_, ws_, mc_ = (int(v) for v in name.split("-")[1:])
+            FT._ABLATE = frozenset()
+            FT._MEM_SLOTS, FT._W_SLOTS, FT._MEM_CHUNK = ms_, ws_, mc_
+        else:
+            FT._ABLATE = frozenset() if name == "full" else frozenset([name])
+            FT._MEM_SLOTS, FT._W_SLOTS, FT._MEM_CHUNK = 4, 3, 0
+        FT.fused_greedy_decode.clear_cache()
+        arg = ftp8 if name == "int8" else ftp
+        if name == "int8":
+            FT._ABLATE = frozenset()
+        run = jax.jit(
+            lambda f: FT.fused_greedy_decode(
+                f, T, opts.tdims.num_heads, start_idx=opts.start_idx,
+                padding_idx=opts.padding_idx, compute_dtype=opts.dtype,
+            )
+        )
+        t0 = time.time()
+        ids = jax.block_until_ready(run(arg))
+        log(f"{name}: compile+first {time.time() - t0:.1f}s ids {ids.shape}")
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.time()
+            for _ in range(ITERS):
+                ids = run(arg)
+            jax.block_until_ready(ids)
+            best = min(best, (time.time() - t0) / ITERS)
+        results[name] = best * 1000
+        log(f"{name}: {best * 1000:.2f} ms/batch "
+            f"({best * 1e6 / T:.0f} us/step)")
+    FT._ABLATE = frozenset()
+    FT._MEM_SLOTS, FT._W_SLOTS, FT._MEM_CHUNK = 4, 3, 0
+
+    full = results.get("full")
+    if full:
+        for name, ms in results.items():
+            if name != "full":
+                log(f"stage {name.replace('no', '', 1)}: "
+                    f"{full - ms:+.2f} ms attributed")
+    print(results)
+
+
+if __name__ == "__main__":
+    main()

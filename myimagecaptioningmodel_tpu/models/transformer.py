@@ -405,8 +405,9 @@ def greedy_decode_ids(
     On TPU at production dims the fixed-length decode dispatches the
     whole-decode fused Pallas kernel (ops/pallas/fused_transformer.py): all
     steps, layers, the tied-vocab argmax and the next-word embedding run as
-    ONE Pallas program — KV caches live in VMEM scratch, layer weights and
-    cross-attention K/V double-buffer from HBM. Small/ragged batches are
+    ONE Pallas program — KV caches and the cross-attention memory live in
+    VMEM scratch, layer weights double-buffer from HBM. Small/ragged
+    batches are
     padded to the 8-row gate (single-image CLI) and sliced back; identical
     ids to the XLA path (tests/test_fused_transformer.py)."""
     B = pre.batch
@@ -419,7 +420,10 @@ def greedy_decode_ids(
 
         orig_B = B
         pad_rows = (-B) % 8
-        if FT.fused_dims_ok(params, dims, B + pad_rows, max_length):
+        if FT.fused_dims_ok(
+            params, dims, B + pad_rows, max_length,
+            mem_len=pre.mem_k[0].shape[1],
+        ):
             pre_p = pre
             if pad_rows:
                 pre_p = TransformerPre(

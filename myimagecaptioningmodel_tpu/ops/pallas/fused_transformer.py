@@ -10,19 +10,25 @@ launch-bound exactly like the LSTM scan was before fused_step.py. But unlike
 the LSTM (whose ~30 MB of step weights fit VMEM-resident), the transformer
 streams ~117 MB of layer weights + ~105 MB of cross-attention K/V from HBM
 every step, so the per-step shape is bandwidth-bound. The whole-decode form
-lets the expensive per-step streams be *software-pipelined* (double-buffered
+lets the expensive per-step streams be *software-pipelined* (ring-buffered
 DMA overlapping compute) while the KV caches — the only state that grows
 with t — live in VMEM scratch across the whole decode and never touch HBM:
 
     resident in VMEM across all T steps:
-        self-attention K/V caches   [L, T, B, D] x2   (bf16, scratch)
+        self-attention K/V caches   [L, T, B, D] x2   (bf16, scratch; 73 MB
+                                                       at production dims —
+                                                       why the 105 MB memory
+                                                       and 117 MB weights
+                                                       CANNOT also be
+                                                       resident)
         tied embedding/head table   [V, E]            (used twice per step:
                                                        one-hot gather of the
                                                        next word + the vocab
                                                        argmax head)
         in/out projections, LNs, biases, positions    (small)
-    double-buffered HBM streams, per step:
-        layer weights  [L, D, 14D]  in 4 chunks/layer (qkv | wo,xq,xo | fc1 | fc2^T)
+    ring-buffered HBM streams, per step (~222 MB/step -> ~271 us/step
+    bandwidth floor at the v5e's 819 GB/s):
+        layer weights  4 contiguous chunk arrays (qkv | wo,xq,xo | fc1 | fc2^T)
         cross-attn K/V [L, 2, M, B, D] in M-chunks
 
 Per-head attention math avoids per-head loops and relayouts with a
@@ -54,18 +60,45 @@ from jax.experimental.pallas import tpu as pltpu
 
 Params = Dict[str, Any]
 
-# column layout of the packed per-layer weight block [D, 14D]
-# (all stored input-major so every stage is a plain [B, *] @ [D_in, *] dot;
+# per-layer weight chunk order in the stream (each chunk type its own
+# contiguous [L, D, cols] array so every DMA is one contiguous block; all
+# stored input-major so every stage is a plain [B, *] @ [D_in, *] dot;
 # fc2 [4D, D] is stored transposed and contracted on its second axis)
 _QKV, _MISC, _FC1, _FC2T = 0, 1, 2, 3
 
+# Timing-probe ablations (benchmarks/probe_fused_transformer.py ONLY):
+# static stage skips compiled into the kernel to attribute per-step time.
+# Always empty in production; never consulted outside _build_kernel.
+_ABLATE: frozenset = frozenset()
+
+# DMA ring depths (probe-tunable; production values fixed by measurement —
+# see benchmarks/probe_fused_transformer.py). More slots = more HBM chunks
+# in flight at the cost of VMEM. At production dims (D=1024) neither the
+# cross-attn memory (105 MB) nor the full weight set (117 MB) fits VMEM
+# alongside the 73 MB of self-attn caches, so BOTH are per-step streams
+# and the kernel is bandwidth-bound at ~222 MB/step.
+_W_SLOTS: int = 3
+_MEM_SLOTS: int = 4
+_MEM_CHUNK: int = 0  # 0 = auto (cdiv(M, 3) above 32 rows)
+
 
 class FusedTransformerDecode(NamedTuple):
-    """Decode-invariant tensors, packed once per decode call (int8 params
-    are dequantized here — the streams are bf16 either way, and the fused
-    program is the bandwidth-optimal consumer of the artifact)."""
+    """Decode-invariant tensors, packed once per decode call.
 
-    w_all: jnp.ndarray  # [L, D, 6D+2F] bf16: qkv(3D) | wo(D) xq(D) xo(D) | fc1(F) | fc2^T(F)
+    For an int8-quantized artifact the four weight streams STAY int8 in HBM
+    (``w_scales`` carries the per-channel scales; dequantization happens
+    in-kernel right after each chunk's DMA) — the decode is weight-stream
+    bound, so halving those bytes is the entire point of the quantized
+    bundle. Full-precision params stream as bf16 and ``w_scales`` is None."""
+
+    w_qkv: jnp.ndarray  # [L, D, 3D] bf16|int8 fused self-attn q|k|v projections
+    w_misc: jnp.ndarray  # [L, D, 3D] bf16|int8 wo | xq | xo
+    w_fc1: jnp.ndarray  # [L, D, F] bf16|int8
+    w_fc2t: jnp.ndarray  # [L, D, F] bf16|int8 (fc2 [F, D] stored transposed)
+    # int8 mode only: per-channel scales, padded to one [L, 4, SMAX] f32
+    # block (rows: qkv[3D] | misc[3D] | fc1[F] | fc2t[D-per-ROW], each
+    # zero-padded to SMAX = max(3D, F)); None in bf16 mode
+    w_scales: Any
     mem_kv: jnp.ndarray  # [L, 2, M, B, D] bf16 cross-attention K/V
     table: jnp.ndarray  # [V, E] bf16 tied embedding/head table
     smalls: jnp.ndarray  # [L, 12, D] f32: q_b v_b wo_b xq_b xo_b fc2_b ln1g ln1b ln2g ln2b ln3g ln3b
@@ -81,10 +114,10 @@ class FusedTransformerDecode(NamedTuple):
 
     @property
     def dims(self) -> Tuple[int, int, int, int, int, int, int]:
-        L, D, W = self.w_all.shape
+        L, D, F = self.w_fc1.shape
         _, _, M, B, _ = self.mem_kv.shape
         V, E = self.table.shape
-        return L, D, (W - 6 * D) // 2, M, B, V, E
+        return L, D, F, M, B, V, E
 
 
 def _dw(p) -> jnp.ndarray:
@@ -106,27 +139,77 @@ def prepare(
 ) -> FusedTransformerDecode:
     """Pack the decoder params + precomputed cross-attention memory into the
     kernel's streaming layout. Cheap (one concat/transpose per tensor) and
-    jit-hoisted out of nothing — the kernel is called once per decode."""
+    jit-hoisted out of nothing — the kernel is called once per decode.
+
+    int8 artifacts keep their weight streams int8 (plus packed per-channel
+    scales for the in-kernel dequant); everything else is packed bf16."""
     from myimagecaptioningmodel_tpu.ops.quantization import embedding_table
 
     dt = jnp.dtype(compute_dtype)
     layers = params["layers"]
     L = len(layers)
     table_f32 = embedding_table(params["embedding"])
-    w_rows, small_rows, fc1_rows = [], [], []
+    dense_leaves = [
+        leaf
+        for layer in layers
+        for sub in (layer["attn"], layer["xattn"], layer["mlp"])
+        for leaf in sub.values()
+    ]
+    int8_mode = all("w_q" in p for p in dense_leaves)
+
+    def wq(p):  # raw int8 weight (int8 mode only)
+        return p["w_q"]
+
+    qkv_rows, misc_rows, fc1w_rows, fc2t_rows = [], [], [], []
+    scale_rows = []
+    small_rows, fc1_rows = [], []
     for layer in layers:
         a, xa, mlp = layer["attn"], layer["xattn"], layer["mlp"]
-        D = _dw(a["wq"]).shape[0]
-        w_cat = jnp.concatenate(
-            [
-                _dw(a["wq"]), _dw(a["wk"]), _dw(a["wv"]),  # qkv -> [D, 3D]
-                _dw(a["wo"]), _dw(xa["wq"]), _dw(xa["wo"]),  # misc -> [D, 3D]
-                _dw(mlp["fc1"]),  # [D, 4D]
-                _dw(mlp["fc2"]).T,  # [D, 4D]
-            ],
-            axis=1,
-        ).astype(dt)
-        w_rows.append(w_cat)
+        D = (wq(a["wq"]) if int8_mode else _dw(a["wq"])).shape[0]
+        if int8_mode:
+            qkv_rows.append(
+                jnp.concatenate([wq(a["wq"]), wq(a["wk"]), wq(a["wv"])], axis=1)
+            )
+            misc_rows.append(
+                jnp.concatenate([wq(a["wo"]), wq(xa["wq"]), wq(xa["wo"])], axis=1)
+            )
+            fc1w_rows.append(wq(mlp["fc1"]))
+            fc2t_rows.append(wq(mlp["fc2"]).T)
+            F_ = wq(mlp["fc1"]).shape[1]
+            smax = max(3 * D, F_)
+
+            def pad(s):
+                return jnp.pad(s.astype(jnp.float32), (0, smax - s.shape[0]))
+
+            scale_rows.append(
+                jnp.stack(
+                    [
+                        pad(jnp.concatenate(
+                            [a["wq"]["scale"], a["wk"]["scale"], a["wv"]["scale"]]
+                        )),
+                        pad(jnp.concatenate(
+                            [a["wo"]["scale"], xa["wq"]["scale"], xa["wo"]["scale"]]
+                        )),
+                        pad(mlp["fc1"]["scale"]),
+                        # fc2 scale is per OUTPUT channel [D] -> per ROW of
+                        # the transposed [D, F] chunk
+                        pad(mlp["fc2"]["scale"]),
+                    ]
+                )
+            )
+        else:
+            qkv_rows.append(
+                jnp.concatenate(
+                    [_dw(a["wq"]), _dw(a["wk"]), _dw(a["wv"])], axis=1
+                ).astype(dt)
+            )
+            misc_rows.append(
+                jnp.concatenate(
+                    [_dw(a["wo"]), _dw(xa["wq"]), _dw(xa["wo"])], axis=1
+                ).astype(dt)
+            )
+            fc1w_rows.append(_dw(mlp["fc1"]).astype(dt))
+            fc2t_rows.append(_dw(mlp["fc2"]).T.astype(dt))
         small_rows.append(
             jnp.stack(
                 [
@@ -139,7 +222,7 @@ def prepare(
             ).astype(jnp.float32)
         )
         fc1_rows.append(_db(mlp["fc1"], _dw(mlp["fc1"]).shape[1]))
-    D = w_rows[0].shape[0]
+    D = qkv_rows[0].shape[0]
     # cross-attention memory: [B, M, heads, dh] -> [M, B, D] (the kernel's
     # DMA-friendly layout: (B, D) are the tiled trailing dims, M chunks lead)
     def to_mbd(x):
@@ -157,7 +240,11 @@ def prepare(
     head = jax.lax.broadcasted_iota(jnp.int32, (D, n_heads), 1)
     sel = (lane // dh == head).astype(dt)
     return FusedTransformerDecode(
-        w_all=jnp.stack(w_rows),
+        w_qkv=jnp.stack(qkv_rows),
+        w_misc=jnp.stack(misc_rows),
+        w_fc1=jnp.stack(fc1w_rows),
+        w_fc2t=jnp.stack(fc2t_rows),
+        w_scales=jnp.stack(scale_rows) if int8_mode else None,
         mem_kv=mem_kv,
         table=table_f32.astype(dt),
         smalls=jnp.stack(small_rows),
@@ -200,18 +287,19 @@ class _Stream:
     the just-freed slot. Pure Python bookkeeping — the kernel body is
     statically unrolled, so this compiles to straight-line DMA ops."""
 
-    def __init__(self, makes):
+    def __init__(self, makes, slots: int = 2):
         self.makes = makes
+        self.slots = slots
         self.issued = 0
         self.taken = 0
 
     def _issue(self):
         if self.issued < len(self.makes):
-            self.makes[self.issued](self.issued % 2).start()
+            self.makes[self.issued](self.issued % self.slots).start()
             self.issued += 1
 
     def prime(self):
-        while self.issued < min(2, len(self.makes)):
+        while self.issued < min(self.slots, len(self.makes)):
             self._issue()
 
     def take(self) -> int:
@@ -219,9 +307,9 @@ class _Stream:
         assert i < self.issued, (
             "DMA stream take() before issue — a consumer forgot refill()"
         )
-        self.makes[i](i % 2).wait()
+        self.makes[i](i % self.slots).wait()
         self.taken += 1
-        return i % 2
+        return i % self.slots
 
     def refill(self):
         self._issue()
@@ -230,17 +318,19 @@ class _Stream:
 def _build_kernel(
     *, L: int, D: int, F: int, M: int, B: int, V: int, E: int, T: int,
     P: int, heads: int, start_idx: int, padding_idx: int, dt,
-    mem_chunk: int, t_chunk: int,
+    mem_chunk: int, t_chunk: int, int8_stream: bool,
 ):
     dh = D // heads
     n_mc = pl.cdiv(M, mem_chunk)
-    w_cols = [(0, 3 * D), (3 * D, 3 * D), (6 * D, F), (6 * D + F, F)]
 
     def kernel(
-        # streamed (ANY/HBM) inputs
-        w_all_ref, mem_kv_ref,
-        # VMEM-resident inputs
-        table_ref, smalls_ref, fc1_b_ref, sel_ref, in_proj_w_ref,
+        # streamed (ANY/HBM) inputs: contiguous per-chunk-type weight
+        # arrays (a column slice of one packed [L, D, 14D] block would be a
+        # row-strided DMA; these are single contiguous blocks) + memory
+        wq_ref, wm_ref, wf1_ref, wf2t_ref, mem_kv_ref,
+        # VMEM-resident inputs (wsc_ref: packed per-channel scales for the
+        # int8 weight streams; a never-read 1-element dummy in bf16 mode)
+        wsc_ref, table_ref, smalls_ref, fc1_b_ref, sel_ref, in_proj_w_ref,
         in_proj_b_ref, pos_ref, lnf_ref, out_proj_w_ref, out_proj_b_ref,
         out_bias_ref,
         # outputs
@@ -249,6 +339,20 @@ def _build_kernel(
         kcache, vcache, x_s, wbuf, membuf, wsem, msem,
     ):
         t = pl.program_id(0)
+
+        def wchunk(slot, c, l, cols):
+            """Weight chunk as a bf16 value. int8 mode dequantizes right
+            here — after the (halved) DMA, before the consumer dot — with
+            the same f32-multiply-then-round as ops.quantization.dense_weight,
+            so ids match the XLA int8 path exactly."""
+            raw = wbuf[slot, :, pl.ds(0, cols)]
+            if not int8_stream:
+                return raw
+            if c == _FC2T:
+                s = wsc_ref[l, 3, pl.ds(0, D)]  # fc2 scale: per ROW [D]
+                return (raw.astype(jnp.float32) * s[:, None]).astype(dt)
+            s = wsc_ref[l, c, pl.ds(0, cols)]
+            return (raw.astype(jnp.float32) * s[None, :]).astype(dt)
 
         def embed_to_x(word, pos_row):
             """word [B] int32 -> residual stream [B, D] f32 (in_proj of the
@@ -276,15 +380,22 @@ def _build_kernel(
             # cache is zero-initialized for the same reason)
             kcache[:] = jnp.zeros(kcache.shape, kcache.dtype)
             vcache[:] = jnp.zeros(vcache.shape, vcache.dtype)
+            # defined baseline for the full-array ids block (each row is
+            # overwritten exactly once, at its own step's select below)
+            ids_ref[:] = jnp.zeros(ids_ref.shape, jnp.int32)
 
         # ---- static DMA plans for this step --------------------------------
+        w_srcs = [
+            (wq_ref, 3 * D), (wm_ref, 3 * D), (wf1_ref, F), (wf2t_ref, F)
+        ]
+
         def make_w(i):
             l, c = divmod(i, 4)
-            c0, cols = w_cols[c]
+            ref, cols = w_srcs[c]
 
             def make(slot):
                 return pltpu.make_async_copy(
-                    w_all_ref.at[l, :, pl.ds(c0, cols)],
+                    ref.at[l],
                     wbuf.at[slot, :, pl.ds(0, cols)],
                     wsem.at[slot],
                 )
@@ -306,8 +417,9 @@ def _build_kernel(
 
             return make
 
-        ws = _Stream([make_w(i) for i in range(4 * L)])
-        ms = _Stream([make_mem(i) for i in range(2 * n_mc * L)])
+        ws = _Stream([make_w(i) for i in range(4 * L)], _W_SLOTS)
+        n_m_dmas = 0 if "noxattn" in _ABLATE else 2 * n_mc * L
+        ms = _Stream([make_mem(i) for i in range(n_m_dmas)], _MEM_SLOTS)
         ws.prime()
         ms.prime()
 
@@ -361,75 +473,80 @@ def _build_kernel(
             # ---- self-attention (cache in VMEM scratch) --------------------
             h1 = ln(x, 0).astype(dt)
             slot = ws.take()  # qkv weights [D, 3D]
-            qkv = _dot(h1, wbuf[slot, :, pl.ds(0, 3 * D)], dt)  # [B, 3D]
+            qkv = _dot(h1, wchunk(slot, _QKV, l, 3 * D), dt)  # [B, 3D]
             ws.refill()
             q = qkv[:, :D] + q_b.astype(dt)
             k_new = qkv[:, D : 2 * D]
             v_new = qkv[:, 2 * D :] + v_b.astype(dt)
             kcache[l, pl.ds(t, 1)] = k_new[None]
             vcache[l, pl.ds(t, 1)] = v_new[None]
-            sa = attend_resident(q, l, T, t)
-            pl.debug_print("DBG q00 {}", q.astype(jnp.float32)[0, 0])
+            if "noselfattn" in _ABLATE:
+                sa = q
+            else:
+                sa = attend_resident(q, l, T, t)
 
             slot = ws.take()  # misc weights [D, 3D] = wo | xq | xo
+            wm = wchunk(slot, _MISC, l, 3 * D)
             x = x + (
-                _dot(sa, wbuf[slot, :, pl.ds(0, D)], dt) + wo_b.astype(dt)
+                _dot(sa, wm[:, :D], dt) + wo_b.astype(dt)
             ).astype(jnp.float32)
 
-            # ---- cross-attention (memory streamed in M-chunks) -------------
-            h2 = ln(x, 1).astype(dt)
-            qx = _dot(h2, wbuf[slot, :, pl.ds(D, D)], dt) + xq_b.astype(dt)
-            # pass 1: scores over all K chunks
-            xs_parts = []
-            for c in range(n_mc):
-                mc = min(mem_chunk, M - c * mem_chunk)
-                mslot = ms.take()  # K chunk c
-                prod = membuf[mslot, pl.ds(0, mc), :, :] * qx[None]
-                s = jax.lax.dot_general(
-                    prod.reshape(mc * B, D), sel, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).reshape(mc, B, heads)
-                xs_parts.append(s)
-                ms.refill()  # V chunk c (or next layer's K) into this slot
-            s = jnp.concatenate(xs_parts, axis=0) * inv_sqrt_dh  # [M, B, h]
-            wght = jax.nn.softmax(s, axis=0).astype(dt)
-            # pass 2: weighted V accumulation over V chunks
-            ca = jnp.zeros((B, D), jnp.float32)
-            for c in range(n_mc):
-                mc = min(mem_chunk, M - c * mem_chunk)
-                m0 = c * mem_chunk
-                mslot = ms.take()  # V chunk c
-                wexp = jax.lax.dot_general(
-                    wght[m0 : m0 + mc].reshape(mc * B, heads), sel,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(dt).reshape(mc, B, D)
-                ca = ca + jnp.sum(
-                    (wexp * membuf[mslot, pl.ds(0, mc), :, :]).astype(
-                        jnp.float32
-                    ),
-                    axis=0,
-                )
-                ms.refill()
-            x = x + (
-                _dot(ca.astype(dt), wbuf[slot, :, pl.ds(2 * D, D)], dt)
-                + xo_b.astype(dt)
-            ).astype(jnp.float32)
-            ws.refill()  # the misc chunk's last consumer was the xo dot
-            pl.debug_print("DBG ca00 {}", ca[0, 0])
+            if "noxattn" in _ABLATE:
+                ws.refill()  # misc chunk's last consumer was the wo dot
+            else:
+                # ---- cross-attention (memory streamed in M-chunks) ---------
+                h2 = ln(x, 1).astype(dt)
+                qx = _dot(h2, wm[:, D : 2 * D], dt) + xq_b.astype(dt)
+                # pass 1: scores over all K chunks
+                xs_parts = []
+                for c in range(n_mc):
+                    mc = min(mem_chunk, M - c * mem_chunk)
+                    mslot = ms.take()  # K chunk c
+                    prod = membuf[mslot, pl.ds(0, mc), :, :] * qx[None]
+                    s = jax.lax.dot_general(
+                        prod.reshape(mc * B, D), sel, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(mc, B, heads)
+                    xs_parts.append(s)
+                    ms.refill()  # V chunk c (or next layer's K) into this slot
+                s = jnp.concatenate(xs_parts, axis=0) * inv_sqrt_dh  # [M,B,h]
+                wght = jax.nn.softmax(s, axis=0).astype(dt)
+                # pass 2: weighted V accumulation over V chunks
+                ca = jnp.zeros((B, D), jnp.float32)
+                for c in range(n_mc):
+                    mc = min(mem_chunk, M - c * mem_chunk)
+                    m0 = c * mem_chunk
+                    mslot = ms.take()  # V chunk c
+                    wexp = jax.lax.dot_general(
+                        wght[m0 : m0 + mc].reshape(mc * B, heads), sel,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(dt).reshape(mc, B, D)
+                    ca = ca + jnp.sum(
+                        (wexp * membuf[mslot, pl.ds(0, mc), :, :]).astype(
+                            jnp.float32
+                        ),
+                        axis=0,
+                    )
+                    ms.refill()
+                x = x + (
+                    _dot(ca.astype(dt), wm[:, 2 * D :], dt)
+                    + xo_b.astype(dt)
+                ).astype(jnp.float32)
+                ws.refill()  # the misc chunk's last consumer was the xo dot
 
             # ---- MLP -------------------------------------------------------
             h3 = ln(x, 2).astype(dt)
             slot = ws.take()  # fc1 [D, F]
             hmid = jax.nn.gelu(
-                _dot(h3, wbuf[slot, :, pl.ds(0, F)], dt)
+                _dot(h3, wchunk(slot, _FC1, l, F), dt)
                 + fc1_b_ref[l, :].astype(dt),
                 approximate=True,
             )
             ws.refill()
             slot = ws.take()  # fc2^T [D, F]
             mlp_out = jax.lax.dot_general(
-                hmid, wbuf[slot, :, pl.ds(0, F)].astype(dt),
+                hmid, wchunk(slot, _FC2T, l, F),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(dt) + fc2_b.astype(dt)
@@ -437,21 +554,32 @@ def _build_kernel(
             x = x + mlp_out.astype(jnp.float32)
 
         # ---- tied-vocab head + argmax + next-word embedding feedback -------
-        hf = _ln(x, lnf_ref[0, :], lnf_ref[1, :]).astype(dt)
-        proj = _dot(hf, out_proj_w_ref[:], dt) + out_proj_b_ref[:].astype(dt)
-        logits = (
-            jax.lax.dot_general(
-                proj, table_ref[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        if "nohead" in _ABLATE:
+            word = jnp.full((B,), start_idx, jnp.int32)
+        else:
+            hf = _ln(x, lnf_ref[0, :], lnf_ref[1, :]).astype(dt)
+            proj = (
+                _dot(hf, out_proj_w_ref[:], dt) + out_proj_b_ref[:].astype(dt)
             )
-            + out_bias_ref[:][None, :]
-        )  # [B, V] f32
-        word = jnp.argmax(logits, axis=1).astype(jnp.int32)
-        ids_ref[0, :] = word
+            logits = (
+                jax.lax.dot_general(
+                    proj, table_ref[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + out_bias_ref[:][None, :]
+            )  # [B, V] f32
+            word = jnp.argmax(logits, axis=1).astype(jnp.int32)
+        # The ids output is one full-array [T, B] VMEM-resident block
+        # (Mosaic rejects sub-(8,128) blocks like (1, B) on int32; a full
+        # block sidesteps the dynamic-sublane store too). Write row t with
+        # a vectorized select — 17.5 KB of VPU work, negligible per step.
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0)
+        ids_ref[:] = jnp.where(row_t == t, word[None, :], ids_ref[:])
 
         # embed the new word for step t+1 (clamped no-op on the last step)
-        pos_idx = jnp.minimum(t + 1, P - 1)
-        x_s[:] = embed_to_x(word, pos_ref[pl.ds(pos_idx, 1), :])
+        if "noembed" not in _ABLATE:
+            pos_idx = jnp.minimum(t + 1, P - 1)
+            x_s[:] = embed_to_x(word, pos_ref[pl.ds(pos_idx, 1), :])
 
     return kernel
 
@@ -480,19 +608,29 @@ def fused_greedy_decode(
     T = max_length
     P = ftp.pos.shape[0]
     dt = jnp.dtype(compute_dtype)
-    mem_chunk = M if M <= 32 else pl.cdiv(M, 2)
+    int8_stream = ftp.w_scales is not None
+    mem_chunk = _MEM_CHUNK or (M if M <= 32 else pl.cdiv(M, 3))
+    mem_chunk = min(mem_chunk, M)
     t_chunk = min(T, 8)
 
     kernel = _build_kernel(
         L=L, D=D, F=F, M=M, B=B, V=V, E=E, T=T, P=P, heads=n_heads,
         start_idx=start_idx, padding_idx=padding_idx, dt=dt,
-        mem_chunk=mem_chunk, t_chunk=t_chunk,
+        mem_chunk=mem_chunk, t_chunk=t_chunk, int8_stream=int8_stream,
     )
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     resident = lambda shape: pl.BlockSpec(
         shape, lambda t: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     nbytes = jnp.dtype(dt).itemsize
+    w_nbytes = 1 if int8_stream else nbytes
+    wbuf_dtype = jnp.int8 if int8_stream else dt
+    # bf16 mode never reads the scales ref; feed a 1-row dummy
+    wsc = (
+        ftp.w_scales
+        if int8_stream
+        else jnp.zeros((1, 1, 128), jnp.float32)
+    )
     flops_step = 2 * B * (
         L * ((6 * D + 2 * F) * D + (T + M) * D + (T + M) * n_heads * D)
         + 2 * E * V + E * D + D * E
@@ -501,8 +639,12 @@ def fused_greedy_decode(
         kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # w_all (HBM, manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # w_qkv (HBM, manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # w_misc (HBM, manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # w_fc1 (HBM, manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # w_fc2t (HBM, manual DMA)
             pl.BlockSpec(memory_space=pl.ANY),  # mem_kv (HBM, manual DMA)
+            resident(wsc.shape),
             resident(ftp.table.shape),
             resident(ftp.smalls.shape),
             resident(ftp.fc1_b.shape),
@@ -515,21 +657,21 @@ def fused_greedy_decode(
             resident(ftp.out_proj_b.shape),
             resident(ftp.out_bias.shape),
         ],
-        out_specs=pl.BlockSpec((1, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((T, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((L, T, B, D), dt),  # kcache
             pltpu.VMEM((L, T, B, D), dt),  # vcache
             pltpu.VMEM((B, D), jnp.float32),  # x_s residual stream
-            pltpu.VMEM((2, D, max(3 * D, F)), dt),  # wbuf (largest chunk)
-            pltpu.VMEM((2, mem_chunk, B, D), dt),  # membuf
-            pltpu.SemaphoreType.DMA((2,)),  # wsem
-            pltpu.SemaphoreType.DMA((2,)),  # msem
+            pltpu.VMEM((_W_SLOTS, D, max(3 * D, F)), wbuf_dtype),  # wbuf ring
+            pltpu.VMEM((_MEM_SLOTS, mem_chunk, B, D), dt),  # membuf ring
+            pltpu.SemaphoreType.DMA((_W_SLOTS,)),  # wsem
+            pltpu.SemaphoreType.DMA((_MEM_SLOTS,)),  # msem
         ],
         cost_estimate=pl.CostEstimate(
             flops=T * flops_step,
             bytes_accessed=T
-            * ((6 * D + 2 * F) * L * D + 2 * L * M * B * D) * nbytes,
+            * ((6 * D + 2 * F) * L * D * w_nbytes + 2 * L * M * B * D * nbytes),
             transcendentals=T * B * (L * (T + M + 2 * F) + V),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -537,18 +679,34 @@ def fused_greedy_decode(
         ),
         interpret=interpret,
     )(
-        ftp.w_all, ftp.mem_kv, ftp.table, ftp.smalls, ftp.fc1_b, ftp.sel,
+        ftp.w_qkv, ftp.w_misc, ftp.w_fc1, ftp.w_fc2t, ftp.mem_kv,
+        wsc, ftp.table, ftp.smalls, ftp.fc1_b, ftp.sel,
         ftp.in_proj_w, ftp.in_proj_b, ftp.pos, ftp.lnf, ftp.out_proj_w,
         ftp.out_proj_b, ftp.out_bias,
     )
     return jnp.transpose(ids_tm, (1, 0))
 
 
-def fused_dims_ok(params: Params, dims, batch: int, max_length: int) -> bool:
+def fused_dims_ok(
+    params: Params, dims, batch: int, max_length: int, mem_len: int = 50
+) -> bool:
     """Gate for the whole-decode kernel: production-ish dims whose tiles and
-    VMEM plan the kernel is written for. Anything else falls back to the XLA
-    KV-cached scan (identical ids, just unfused)."""
+    VMEM plan the kernel is written for, AND a VMEM budget check — the
+    self-attn caches, the weight/memory DMA rings and the tied table must
+    all fit (v5e: 128 MB/core, ~8 MB headroom left for Mosaic temporaries).
+    Anything else falls back to the XLA KV-cached scan (identical ids, just
+    unfused)."""
     D = dims.model_dim
+    L, F = dims.num_layers, dims.model_dim * dims.mlp_ratio
+    itemsize = 2  # bf16 compute dtype (f32 only in tests' interpret mode)
+    mem_chunk = mem_len if mem_len <= 32 else -(-mem_len // 3)
+    vmem = (
+        2 * L * max_length * batch * D * itemsize  # self-attn K/V caches
+        + _W_SLOTS * D * max(3 * D, F) * itemsize  # weight DMA ring
+        + _MEM_SLOTS * mem_chunk * batch * D * itemsize  # memory DMA ring
+        + dims.padded_vocab * dims.embedding_size * itemsize  # tied table
+        + batch * D * 4  # residual stream (f32)
+    )
     return (
         D % 128 == 0
         and dims.embedding_size % 128 == 0
@@ -557,4 +715,5 @@ def fused_dims_ok(params: Params, dims, batch: int, max_length: int) -> bool:
         and batch >= 8
         and batch % 8 == 0
         and max_length <= params["pos"].shape[0]
+        and vmem <= 126 * 1024 * 1024
     )

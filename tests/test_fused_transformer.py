@@ -89,7 +89,8 @@ def test_fused_decode_pads_small_batches(setup, monkeypatch, small_b):
 
 
 def test_fused_decode_multi_mem_chunks(monkeypatch):
-    """M > 32 exercises the 2-chunk cross-attention DMA stream."""
+    """M > 32 (and M not sublane-aligned) through the resident cross-attn
+    memory path — the production M=49 shape class."""
     dims = TransformerDims(
         vocab_size=2050, embedding_size=128, model_dim=256, num_layers=1,
         num_heads=2, mlp_ratio=2, max_positions=4, vocab_pad_multiple=2,
@@ -114,43 +115,28 @@ def test_fused_decode_multi_mem_chunks(monkeypatch):
     np.testing.assert_array_equal(np.asarray(ids_fused), np.asarray(ids_ref))
 
 
-def test_int8_prepare_equals_dequantized_prepare(setup):
-    """int8 params pack to the same streaming tensors as their dequantized
-    f32 view — the fused kernel therefore decodes the quantized artifact
-    with the dequant-at-prepare semantics the LSTM family established."""
+def test_int8_artifact_streams_int8_and_matches_xla_ids(setup, monkeypatch):
+    """An int8-quantized artifact keeps its four weight streams int8 in HBM
+    (HALF the decode's dominant traffic — the point of the quantized
+    bundle) with in-kernel dequantization, and the fused decode's ids match
+    the XLA int8 path id-for-id (the in-kernel dequant uses the exact
+    f32-multiply-then-round of ops.quantization.dense_weight)."""
     dims, params, pre, B = setup
     q = TF.quantize_transformer_decoder(params)
     ftp_q = FT.prepare(q, pre, dims.num_heads, jnp.float32)
-    # dequantized oracle params: materialize the f32 views, re-prepare
-    from myimagecaptioningmodel_tpu.ops.quantization import (
-        dense_weight,
-        embedding_table,
+    assert ftp_q.w_qkv.dtype == jnp.int8
+    assert ftp_q.w_fc2t.dtype == jnp.int8
+    assert ftp_q.w_scales is not None
+    _interp_fused(monkeypatch)
+    ids_fused = TF.greedy_decode_ids(
+        q, pre, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=True,
     )
-
-    def dq(p):
-        if "w_q" in p:
-            out = {"w": dense_weight(p)}
-            if "b" in p:
-                out["b"] = p["b"]
-            return out
-        if "table_q" in p:
-            return {"table": embedding_table(p)}
-        return p
-
-    params_dq = dict(q)
-    params_dq["embedding"] = dq(q["embedding"])
-    params_dq["in_proj"] = dq(q["in_proj"])
-    params_dq["out_proj"] = dq(q["out_proj"])
-    params_dq["layers"] = tuple(
-        {
-            name: (sub if name.startswith("ln") else {k: dq(v) for k, v in sub.items()})
-            for name, sub in layer.items()
-        }
-        for layer in q["layers"]
+    ids_ref = TF.greedy_decode_ids(
+        q, pre, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=False,
     )
-    ftp_dq = FT.prepare(params_dq, pre, dims.num_heads, jnp.float32)
-    for a, b in zip(ftp_q, ftp_dq):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, rtol=0)
+    np.testing.assert_array_equal(np.asarray(ids_fused), np.asarray(ids_ref))
 
 
 def test_gate_rejects_tiny_and_early_stop(setup):
