@@ -402,6 +402,35 @@ def main() -> None:
             cost_t.get("bytes_accessed", 0.0), pb,
         )
 
+        # quantized serving modes: the fused decode is stream-bound, so the
+        # int8 artifact halves the weight bytes in HBM (exact vs the XLA
+        # int8 path) and quantize_kv halves the cross-attn memory stream
+        # (opt-in approximate mode) — ops/pallas/fused_transformer.py
+        from myimagecaptioningmodel_tpu.models.transformer import (
+            quantize_transformer_decoder,
+        )
+
+        params_tq = dict(params_t)
+        params_tq["decoder"] = quantize_transformer_decoder(
+            params_t["decoder"]
+        )
+        cps8, pb8, _ = sustained_captions_per_sec(
+            lambda p, s, x: captioner.greedy_decode(p, s, x, opts_t),
+            params_tq, state_t, images, ITERS, rtt=rtt,
+        )
+        extra["transformer_greedy_int8_captions_per_sec"] = round(cps8, 2)
+        log(f"transformer greedy int8, sustained: {cps8:.1f} captions/s "
+            f"({pb8 * 1000:.1f} ms / batch of {BATCH})")
+        opts_tkv = opts_t._replace(quantize_kv=True)
+        cps8kv, pb8kv, _ = sustained_captions_per_sec(
+            lambda p, s, x: captioner.greedy_decode(p, s, x, opts_tkv),
+            params_tq, state_t, images, ITERS, rtt=rtt,
+        )
+        extra["transformer_greedy_int8kv_captions_per_sec"] = round(cps8kv, 2)
+        log(f"transformer greedy int8+kv, sustained: {cps8kv:.1f} captions/s "
+            f"({pb8kv * 1000:.1f} ms / batch of {BATCH})")
+        del params_tq
+
         # transformer train throughput (VERDICT r3 #6): same sustained
         # in-graph-scan methodology as the LSTM train diagnostic below
         import optax as optax_t

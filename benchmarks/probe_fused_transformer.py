@@ -62,12 +62,21 @@ def main():
     ftp = jax.block_until_ready(ftp)
     T = opts.infer_max_length
 
-    # int8 artifact: same packing path, weight streams stay int8 in HBM
-    ftp8 = FT.prepare(
-        TF.quantize_transformer_decoder(params["decoder"]),
-        tpre, opts.tdims.num_heads, opts.dtype,
-    )
+    # int8 artifact: same packing path, weight streams stay int8 in HBM;
+    # int8kv additionally quantizes the cross-attn memory stream; kvonly
+    # keeps bf16 weights with the int8 memory
+    q_dec = TF.quantize_transformer_decoder(params["decoder"])
+    ftp8 = FT.prepare(q_dec, tpre, opts.tdims.num_heads, opts.dtype)
     ftp8 = jax.block_until_ready(ftp8)
+    ftp8kv = FT.prepare(
+        q_dec, tpre, opts.tdims.num_heads, opts.dtype, quantize_kv=True
+    )
+    ftp8kv = jax.block_until_ready(ftp8kv)
+    ftpkv = FT.prepare(
+        params["decoder"], tpre, opts.tdims.num_heads, opts.dtype,
+        quantize_kv=True,
+    )
+    ftpkv = jax.block_until_ready(ftpkv)
 
     results = {}
     for name in variants:
@@ -80,8 +89,8 @@ def main():
             FT._ABLATE = frozenset() if name == "full" else frozenset([name])
             FT._MEM_SLOTS, FT._W_SLOTS, FT._MEM_CHUNK = 4, 3, 0
         FT.fused_greedy_decode.clear_cache()
-        arg = ftp8 if name == "int8" else ftp
-        if name == "int8":
+        arg = {"int8": ftp8, "int8kv": ftp8kv, "kvonly": ftpkv}.get(name, ftp)
+        if name in ("int8", "int8kv", "kvonly"):
             FT._ABLATE = frozenset()
         run = jax.jit(
             lambda f: FT.fused_greedy_decode(

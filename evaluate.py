@@ -23,6 +23,11 @@ def main() -> None:
     ap.add_argument("--beam", type=int, default=0, help="beam size (0/1 = greedy)")
     ap.add_argument("--quantize", action="store_true", help="int8 decoder weights")
     ap.add_argument(
+        "--quantize-kv", action="store_true",
+        help="stream cross-attention K/V as int8 (transformer + fused "
+        "greedy decode; approximate serving mode)",
+    )
+    ap.add_argument(
         "--early-stop", action="store_true",
         help="greedy decode exits once every row emitted <stop> (same captions)",
     )
@@ -53,7 +58,7 @@ def main() -> None:
     evaluate_mod.evaluate(
         cfg, bundle=args.bundle, mode=args.mode, beam_size=args.beam,
         quantize=args.quantize, early_stop=args.early_stop, mesh="auto",
-        length_norm=args.length_norm,
+        length_norm=args.length_norm, quantize_kv=args.quantize_kv,
     )
 
 

@@ -26,13 +26,17 @@ from myimagecaptioningmodel_tpu.training import checkpoint as ckpt
 
 
 def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool = False,
-                early_stop: bool = False, mesh=None, length_norm: float = 0.0):
+                early_stop: bool = False, mesh=None, length_norm: float = 0.0,
+                quantize_kv: bool = False):
     """-> (params, model_state, bundle_cfg, opts, decode_fn).
 
     ``beam_size`` 0/1 -> greedy; >1 -> beam search (north-star addition).
     ``quantize`` stores the decoder weights as int8 (per-channel scales,
     ops/quantization.py): ~4x smaller serving footprint, captions unchanged
-    up to quantization noise. ``early_stop`` uses the while_loop greedy
+    up to quantization noise. ``quantize_kv`` (transformer + fused greedy
+    decode only) additionally streams the cross-attention K/V as
+    per-channel int8 — an approximate serving mode; captions can differ
+    within the quantization grid. ``early_stop`` uses the while_loop greedy
     decode that exits when every row has emitted <stop>. ``length_norm``
     (beam only): GNMT-style final-score normalization by len**alpha —
     0 keeps the reference-flavored raw sum-log-prob pick. With a ``mesh``
@@ -56,6 +60,15 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
         # greedy: while_loop exit once all rows emitted <stop>; beam: exit
         # once every beam is finished (identical captions either way)
         opts = opts._replace(early_stop_decode=True)
+    if quantize_kv:
+        if opts.arch != "transformer":
+            raise ValueError(
+                "quantize_kv is a transformer-family serving mode (the LSTM "
+                "decoder has no streamed cross-attention K/V)"
+            )
+        if beam_size and beam_size > 1:
+            raise ValueError("quantize_kv covers greedy decode only")
+        opts = opts._replace(quantize_kv=True)
     like_params, like_state = captioner.init(jax.random.PRNGKey(0), opts)
     params, model_state, bundle_cfg = ckpt.load_inference_bundle(
         directory, like_params, like_state
@@ -138,7 +151,7 @@ def load_bundle(cfg, bundle: str = "infer", beam_size: int = 0, quantize: bool =
 def evaluate(
     cfg=None, bundle: str = "infer", mode: str = "test", beam_size: int = 0,
     quantize: bool = False, mesh=None, early_stop: bool = False,
-    length_norm: float = 0.0,
+    length_norm: float = 0.0, quantize_kv: bool = False,
 ) -> Dict[str, object]:
     """-> {'bleu': [b1,b2,b3,b4,mean], 'cider': float, 'distinct_sentences': int|None}.
 
@@ -176,7 +189,7 @@ def evaluate(
         )
     params, model_state, _bcfg, opts, decode = load_bundle(
         cfg, bundle, beam_size, quantize, early_stop=early_stop, mesh=mesh,
-        length_norm=length_norm,
+        length_norm=length_norm, quantize_kv=quantize_kv,
     )
     if multihost:
         from myimagecaptioningmodel_tpu.parallel import mesh as mesh_mod

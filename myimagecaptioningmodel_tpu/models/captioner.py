@@ -80,6 +80,10 @@ class ModelOptions(NamedTuple):
     # uniform label smoothing over the REAL vocab rows (padded rows carry a
     # -1e9 bias and are excluded); 0 = reference-exact hard-target CE
     label_smoothing: float = 0.0
+    # opt-in approximate serving mode (transformer + fused decode only):
+    # stream the cross-attention K/V as per-channel int8 — the decode's
+    # largest HBM consumer at half the bytes (ops/pallas/fused_transformer)
+    quantize_kv: bool = False
 
     @classmethod
     def from_config(cls, cfg) -> "ModelOptions":
@@ -274,10 +278,29 @@ def greedy_decode(
         params, state, images, opts, train=False
     )
     if opts.arch == "transformer":
-        tpre = transformer_mod.precompute(
-            params["decoder"], img_embed, global_feat,
-            opts.tdims.num_heads, opts.dtype,
-        )
+        use_fused = opts.use_pallas and not opts.early_stop_decode
+        if use_fused:
+            from myimagecaptioningmodel_tpu.ops.pallas import (
+                fused_transformer as FT,
+            )
+
+            B = images.shape[0]
+            use_fused = FT.fused_dims_ok(
+                params["decoder"], opts.tdims, B + ((-B) % 8),
+                opts.infer_max_length, mem_len=img_embed.shape[1] + 1,
+            )
+        if use_fused:
+            # pack the cross-attn memory directly in the fused kernel's
+            # [M, B, D] layout (transformer.precompute_mbd) — skips a
+            # 2*L*M*B*D shuffle per decode call
+            tpre = transformer_mod.precompute_mbd(
+                params["decoder"], img_embed, global_feat, opts.dtype
+            )
+        else:
+            tpre = transformer_mod.precompute(
+                params["decoder"], img_embed, global_feat,
+                opts.tdims.num_heads, opts.dtype,
+            )
         return transformer_mod.greedy_decode_ids(
             params["decoder"],
             tpre,
@@ -289,6 +312,7 @@ def greedy_decode(
             use_pallas=opts.use_pallas,
             early_stop=opts.early_stop_decode,
             stop_idx=opts.stop_idx,
+            quantize_kv=opts.quantize_kv,
         )
     pre = decoder_mod.precompute(params["decoder"], img_embed, global_feat, opts.dtype)
     return decoder_mod.greedy_decode_ids(

@@ -199,6 +199,57 @@ def precompute(
     return TransformerPre(tuple(ks), tuple(vs))
 
 
+class TransformerPreMBD(NamedTuple):
+    """Fused-decode layout of the step-invariant cross-attention memory:
+    K/V already in the whole-decode kernel's [M, B, D] DMA layout. Built by
+    ``precompute_mbd``: transposing the 13 MB feature memory ONCE before
+    the per-layer projections puts every K/V in kernel layout for free —
+    packing a [B, M, heads, dh] TransformerPre instead would shuffle
+    2*L*M*B*D bytes (105 MB at production dims) per decode call."""
+
+    mem_kv: jnp.ndarray  # [L, 2, M, B, D] compute-dtype
+
+    @property
+    def batch(self) -> int:
+        return self.mem_kv.shape[3]
+
+
+def precompute_mbd(
+    params: Params,
+    img_embed: jnp.ndarray,  # [B, k, D] projected spatial features
+    global_feat: jnp.ndarray,  # [B, D]
+    compute_dtype=jnp.bfloat16,
+) -> TransformerPreMBD:
+    """Same projections as ``precompute`` (bitwise: each output row is the
+    same row-by-column contraction, row order is irrelevant to the MXU),
+    emitted directly in the fused kernel's [M, B, D] layout."""
+    dt = compute_dtype
+    mem = jnp.concatenate(
+        [img_embed.astype(dt), global_feat.astype(dt)[:, None, :]], axis=1
+    )  # [B, M, D]
+    mem_t = jnp.transpose(mem, (1, 0, 2))  # [M, B, D] — one small transpose
+    rows = []
+    for layer in params["layers"]:
+        xa = layer["xattn"]
+        rows.append(
+            jnp.stack([L.dense(xa["wk"], mem_t, dt), L.dense(xa["wv"], mem_t, dt)])
+        )
+    return TransformerPreMBD(jnp.stack(rows))
+
+
+def _mbd_to_pre(pre: TransformerPreMBD, n_heads: int) -> TransformerPre:
+    """[L, 2, M, B, D] -> per-layer [B, M, heads, dh] views (the XLA decode
+    fallback's layout) — only taken when the fused gate rejects a shape the
+    caller optimistically packed for the kernel."""
+    Lh, _, M, B, D = pre.mem_kv.shape
+    def heads_view(x):  # [M, B, D] -> [B, M, heads, dh]
+        return _split_heads(jnp.transpose(x, (1, 0, 2)), n_heads)
+    return TransformerPre(
+        tuple(heads_view(pre.mem_kv[l, 0]) for l in range(Lh)),
+        tuple(heads_view(pre.mem_kv[l, 1]) for l in range(Lh)),
+    )
+
+
 def prepare_decode_layers(params: Params) -> Tuple[Params, ...]:
     """Decode-time layer views with the self-attention q/k/v projections
     fused into ONE [D, 3D] matmul ("wqkv"). The KV-cached step is launch-
@@ -397,10 +448,15 @@ def greedy_decode_ids(
     use_pallas: bool = False,
     early_stop: bool = False,
     stop_idx: int = 3,
+    quantize_kv: bool = False,
 ) -> jnp.ndarray:
     """Greedy decode -> ids [B, max_length]; mirrors the LSTM family's
     contract (fixed-length scan by default; ``early_stop`` switches to a
     while_loop that exits at all-<stop>, post-stop positions = <pad>).
+
+    ``quantize_kv`` (fused-kernel path only): stream the cross-attention
+    K/V as per-channel int8 — an opt-in approximate serving mode; the XLA
+    fallback ignores it (full-precision memory).
 
     On TPU at production dims the fixed-length decode dispatches the
     whole-decode fused Pallas kernel (ops/pallas/fused_transformer.py): all
@@ -420,12 +476,22 @@ def greedy_decode_ids(
 
         orig_B = B
         pad_rows = (-B) % 8
+        is_mbd = isinstance(pre, TransformerPreMBD)
+        mem_len = (
+            pre.mem_kv.shape[2] if is_mbd else pre.mem_k[0].shape[1]
+        )
         if FT.fused_dims_ok(
-            params, dims, B + pad_rows, max_length,
-            mem_len=pre.mem_k[0].shape[1],
+            params, dims, B + pad_rows, max_length, mem_len=mem_len
         ):
             pre_p = pre
-            if pad_rows:
+            if pad_rows and is_mbd:
+                pre_p = TransformerPreMBD(
+                    jnp.pad(
+                        pre.mem_kv,
+                        ((0, 0), (0, 0), (0, 0), (0, pad_rows), (0, 0)),
+                    )
+                )
+            elif pad_rows:
                 pre_p = TransformerPre(
                     tuple(
                         jnp.concatenate(
@@ -440,12 +506,18 @@ def greedy_decode_ids(
                         for v in pre.mem_v
                     ),
                 )
-            ftp = FT.prepare(params, pre_p, dims.num_heads, dt)
+            ftp = FT.prepare(
+                params, pre_p, dims.num_heads, dt, quantize_kv=quantize_kv
+            )
             ids = FT.fused_greedy_decode(
                 ftp, max_length, dims.num_heads, start_idx, padding_idx, dt
             )
             return ids[:orig_B]
 
+    if isinstance(pre, TransformerPreMBD):
+        # caller packed for the kernel but the gate rejected the shape —
+        # recover the XLA fallback's per-head layout
+        pre = _mbd_to_pre(pre, dims.num_heads)
     word0 = jnp.full((B,), start_idx, jnp.int32)
     caches0 = _init_cache(dims, B, max_length, dt)
     layers_p = prepare_decode_layers(params)  # fused qkv, hoisted off the scan

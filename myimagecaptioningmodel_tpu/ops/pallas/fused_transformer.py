@@ -95,11 +95,18 @@ class FusedTransformerDecode(NamedTuple):
     w_misc: jnp.ndarray  # [L, D, 3D] bf16|int8 wo | xq | xo
     w_fc1: jnp.ndarray  # [L, D, F] bf16|int8
     w_fc2t: jnp.ndarray  # [L, D, F] bf16|int8 (fc2 [F, D] stored transposed)
-    # int8 mode only: per-channel scales, padded to one [L, 4, SMAX] f32
-    # block (rows: qkv[3D] | misc[3D] | fc1[F] | fc2t[D-per-ROW], each
-    # zero-padded to SMAX = max(3D, F)); None in bf16 mode
+    # int8 mode only: per-OUTPUT-channel scales, padded to one [L, 4, SMAX]
+    # f32 block (rows: qkv[3D] | misc[3D] | fc1[F] | fc2[D], each
+    # zero-padded to SMAX = max(3D, F)); applied to each consumer dot's
+    # output, matching L.dense's ``(x @ w_q) * scale``. None in bf16 mode
     w_scales: Any
-    mem_kv: jnp.ndarray  # [L, 2, M, B, D] bf16 cross-attention K/V
+    mem_kv: jnp.ndarray  # [L, 2, M, B, D] bf16 (int8 in quantize_kv mode)
+    # quantize_kv mode only: per-feature-channel scales [L, 2, D] f32 for
+    # the int8 cross-attn memory; None otherwise. The kernel folds them
+    # into per-step [B, D]-sized multiplies (K's scale pre-multiplies the
+    # query, V's post-multiplies the accumulated context), so the streamed
+    # tensor itself only pays an int8->bf16 convert.
+    mem_scales: Any
     table: jnp.ndarray  # [V, E] bf16 tied embedding/head table
     smalls: jnp.ndarray  # [L, 12, D] f32: q_b v_b wo_b xq_b xo_b fc2_b ln1g ln1b ln2g ln2b ln3g ln3b
     fc1_b: jnp.ndarray  # [L, F] f32 (F = D * mlp_ratio)
@@ -136,13 +143,20 @@ def prepare(
     pre,  # transformer.TransformerPre: per-layer mem K/V [B, M, heads, dh]
     n_heads: int,
     compute_dtype=jnp.bfloat16,
+    quantize_kv: bool = False,
 ) -> FusedTransformerDecode:
     """Pack the decoder params + precomputed cross-attention memory into the
     kernel's streaming layout. Cheap (one concat/transpose per tensor) and
     jit-hoisted out of nothing — the kernel is called once per decode.
 
     int8 artifacts keep their weight streams int8 (plus packed per-channel
-    scales for the in-kernel dequant); everything else is packed bf16."""
+    scales for the in-kernel dequant); everything else is packed bf16.
+
+    ``quantize_kv``: symmetric per-feature-channel int8 quantization of the
+    streamed cross-attention K/V (an opt-in approximate serving mode — the
+    memory stream is the decode's single largest HBM consumer). The
+    quantization error is bounded by the per-channel absmax/127 grid; the
+    weight streams' semantics are unchanged."""
     from myimagecaptioningmodel_tpu.ops.quantization import embedding_table
 
     dt = jnp.dtype(compute_dtype)
@@ -191,9 +205,7 @@ def prepare(
                             [a["wo"]["scale"], xa["wq"]["scale"], xa["wo"]["scale"]]
                         )),
                         pad(mlp["fc1"]["scale"]),
-                        # fc2 scale is per OUTPUT channel [D] -> per ROW of
-                        # the transposed [D, F] chunk
-                        pad(mlp["fc2"]["scale"]),
+                        pad(mlp["fc2"]["scale"]),  # per OUTPUT channel [D]
                     ]
                 )
             )
@@ -223,18 +235,35 @@ def prepare(
         )
         fc1_rows.append(_db(mlp["fc1"], _dw(mlp["fc1"]).shape[1]))
     D = qkv_rows[0].shape[0]
-    # cross-attention memory: [B, M, heads, dh] -> [M, B, D] (the kernel's
-    # DMA-friendly layout: (B, D) are the tiled trailing dims, M chunks lead)
-    def to_mbd(x):
-        B, M, h, dh = x.shape
-        return jnp.transpose(x.reshape(B, M, h * dh), (1, 0, 2)).astype(dt)
+    if hasattr(pre, "mem_kv"):
+        # transformer.TransformerPreMBD: already [L, 2, M, B, D] in the
+        # kernel's layout (precompute_mbd transposed the 13 MB feature
+        # memory once instead of shuffling the 105 MB K/V here)
+        mem_kv = pre.mem_kv.astype(dt)
+    else:
+        # cross-attention memory: [B, M, heads, dh] -> [M, B, D] (the
+        # kernel's DMA-friendly layout: (B, D) are the tiled trailing
+        # dims, M chunks lead)
+        def to_mbd(x):
+            B, M, h, dh = x.shape
+            return jnp.transpose(x.reshape(B, M, h * dh), (1, 0, 2)).astype(dt)
 
-    mem_kv = jnp.stack(
-        [
-            jnp.stack([to_mbd(k), to_mbd(v)])
-            for k, v in zip(pre.mem_k, pre.mem_v)
-        ]
-    )  # [L, 2, M, B, D]
+        mem_kv = jnp.stack(
+            [
+                jnp.stack([to_mbd(k), to_mbd(v)])
+                for k, v in zip(pre.mem_k, pre.mem_v)
+            ]
+        )  # [L, 2, M, B, D]
+    mem_scales = None
+    if quantize_kv:
+        absmax = jnp.max(
+            jnp.abs(mem_kv.astype(jnp.float32)), axis=(2, 3), keepdims=True
+        )  # [L, 2, 1, 1, D]
+        s = jnp.maximum(absmax / 127.0, 1e-12)
+        mem_scales = jnp.squeeze(s, (2, 3)).astype(jnp.float32)  # [L, 2, D]
+        mem_kv = jnp.clip(
+            jnp.round(mem_kv.astype(jnp.float32) / s), -127, 127
+        ).astype(jnp.int8)
     dh = D // n_heads
     lane = jax.lax.broadcasted_iota(jnp.int32, (D, n_heads), 0)
     head = jax.lax.broadcasted_iota(jnp.int32, (D, n_heads), 1)
@@ -246,6 +275,7 @@ def prepare(
         w_fc2t=jnp.stack(fc2t_rows),
         w_scales=jnp.stack(scale_rows) if int8_mode else None,
         mem_kv=mem_kv,
+        mem_scales=mem_scales,
         table=table_f32.astype(dt),
         smalls=jnp.stack(small_rows),
         fc1_b=jnp.stack(fc1_rows).astype(jnp.float32),
@@ -318,7 +348,7 @@ class _Stream:
 def _build_kernel(
     *, L: int, D: int, F: int, M: int, B: int, V: int, E: int, T: int,
     P: int, heads: int, start_idx: int, padding_idx: int, dt,
-    mem_chunk: int, t_chunk: int, int8_stream: bool,
+    mem_chunk: int, t_chunk: int, int8_stream: bool, int8_kv: bool,
 ):
     dh = D // heads
     n_mc = pl.cdiv(M, mem_chunk)
@@ -328,9 +358,10 @@ def _build_kernel(
         # arrays (a column slice of one packed [L, D, 14D] block would be a
         # row-strided DMA; these are single contiguous blocks) + memory
         wq_ref, wm_ref, wf1_ref, wf2t_ref, mem_kv_ref,
-        # VMEM-resident inputs (wsc_ref: packed per-channel scales for the
-        # int8 weight streams; a never-read 1-element dummy in bf16 mode)
-        wsc_ref, table_ref, smalls_ref, fc1_b_ref, sel_ref, in_proj_w_ref,
+        # VMEM-resident inputs (wsc_ref / msc_ref: per-channel scales for
+        # the int8 weight / memory streams; never-read dummies when off)
+        wsc_ref, msc_ref, table_ref, smalls_ref, fc1_b_ref, sel_ref,
+        in_proj_w_ref,
         in_proj_b_ref, pos_ref, lnf_ref, out_proj_w_ref, out_proj_b_ref,
         out_bias_ref,
         # outputs
@@ -340,19 +371,22 @@ def _build_kernel(
     ):
         t = pl.program_id(0)
 
-        def wchunk(slot, c, l, cols):
-            """Weight chunk as a bf16 value. int8 mode dequantizes right
-            here — after the (halved) DMA, before the consumer dot — with
-            the same f32-multiply-then-round as ops.quantization.dense_weight,
-            so ids match the XLA int8 path exactly."""
-            raw = wbuf[slot, :, pl.ds(0, cols)]
+        def wchunk(slot, cols):
+            """Weight chunk as a compute-dtype value (int8 mode: an exact
+            int8->dt convert only — the per-channel scale applies to each
+            consumer dot's OUTPUT via ``wscaled``, matching ops/layers.py
+            dense's ``(x @ w_q) * scale`` exactly, and costing a [B, cols]
+            multiply instead of a [D, cols] dequant)."""
+            return wbuf[slot, :, pl.ds(0, cols)].astype(dt)
+
+        def wscaled(y, c, l, c0, cols):
+            """Apply chunk ``c``'s per-output-channel scale slice
+            [c0, c0+cols) to a dot output ``y`` [B, cols] (int8 mode only;
+            identity in bf16 mode). L.dense order: scale BEFORE bias."""
             if not int8_stream:
-                return raw
-            if c == _FC2T:
-                s = wsc_ref[l, 3, pl.ds(0, D)]  # fc2 scale: per ROW [D]
-                return (raw.astype(jnp.float32) * s[:, None]).astype(dt)
-            s = wsc_ref[l, c, pl.ds(0, cols)]
-            return (raw.astype(jnp.float32) * s[None, :]).astype(dt)
+                return y
+            s = wsc_ref[l, c, pl.ds(c0, cols)].astype(dt)
+            return y * s[None, :]
 
         def embed_to_x(word, pos_row):
             """word [B] int32 -> residual stream [B, D] f32 (in_proj of the
@@ -473,7 +507,9 @@ def _build_kernel(
             # ---- self-attention (cache in VMEM scratch) --------------------
             h1 = ln(x, 0).astype(dt)
             slot = ws.take()  # qkv weights [D, 3D]
-            qkv = _dot(h1, wchunk(slot, _QKV, l, 3 * D), dt)  # [B, 3D]
+            qkv = wscaled(
+                _dot(h1, wchunk(slot, 3 * D), dt), _QKV, l, 0, 3 * D
+            )  # [B, 3D]
             ws.refill()
             q = qkv[:, :D] + q_b.astype(dt)
             k_new = qkv[:, D : 2 * D]
@@ -486,9 +522,10 @@ def _build_kernel(
                 sa = attend_resident(q, l, T, t)
 
             slot = ws.take()  # misc weights [D, 3D] = wo | xq | xo
-            wm = wchunk(slot, _MISC, l, 3 * D)
+            wm = wchunk(slot, 3 * D)
             x = x + (
-                _dot(sa, wm[:, :D], dt) + wo_b.astype(dt)
+                wscaled(_dot(sa, wm[:, :D], dt), _MISC, l, 0, D)
+                + wo_b.astype(dt)
             ).astype(jnp.float32)
 
             if "noxattn" in _ABLATE:
@@ -496,13 +533,25 @@ def _build_kernel(
             else:
                 # ---- cross-attention (memory streamed in M-chunks) ---------
                 h2 = ln(x, 1).astype(dt)
-                qx = _dot(h2, wm[:, D : 2 * D], dt) + xq_b.astype(dt)
+                qx = wscaled(
+                    _dot(h2, wm[:, D : 2 * D], dt), _MISC, l, D, D
+                ) + xq_b.astype(dt)
+                # int8_kv: fold K's per-channel scale into the query (one
+                # [B, D] multiply) so the streamed K chunks only pay an
+                # int8->bf16 convert, not a full dequant multiply
+                if int8_kv:
+                    qk = (
+                        qx.astype(jnp.float32) * msc_ref[l, 0, :]
+                    ).astype(dt)
+                else:
+                    qk = qx
                 # pass 1: scores over all K chunks
                 xs_parts = []
                 for c in range(n_mc):
                     mc = min(mem_chunk, M - c * mem_chunk)
                     mslot = ms.take()  # K chunk c
-                    prod = membuf[mslot, pl.ds(0, mc), :, :] * qx[None]
+                    kchunk = membuf[mslot, pl.ds(0, mc), :, :].astype(dt)
+                    prod = kchunk * qk[None]
                     s = jax.lax.dot_general(
                         prod.reshape(mc * B, D), sel, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -522,15 +571,20 @@ def _build_kernel(
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ).astype(dt).reshape(mc, B, D)
+                    vchunk = membuf[mslot, pl.ds(0, mc), :, :].astype(dt)
                     ca = ca + jnp.sum(
-                        (wexp * membuf[mslot, pl.ds(0, mc), :, :]).astype(
-                            jnp.float32
-                        ),
-                        axis=0,
+                        (wexp * vchunk).astype(jnp.float32), axis=0
                     )
                     ms.refill()
+                # int8_kv: V's per-channel scale applied once to the
+                # accumulated context (the other [B, D]-sized multiply)
+                if int8_kv:
+                    ca = ca * msc_ref[l, 1, :]
                 x = x + (
-                    _dot(ca.astype(dt), wm[:, 2 * D :], dt)
+                    wscaled(
+                        _dot(ca.astype(dt), wm[:, 2 * D :], dt),
+                        _MISC, l, 2 * D, D,
+                    )
                     + xo_b.astype(dt)
                 ).astype(jnp.float32)
                 ws.refill()  # the misc chunk's last consumer was the xo dot
@@ -539,17 +593,20 @@ def _build_kernel(
             h3 = ln(x, 2).astype(dt)
             slot = ws.take()  # fc1 [D, F]
             hmid = jax.nn.gelu(
-                _dot(h3, wchunk(slot, _FC1, l, F), dt)
+                wscaled(_dot(h3, wchunk(slot, F), dt), _FC1, l, 0, F)
                 + fc1_b_ref[l, :].astype(dt),
                 approximate=True,
             )
             ws.refill()
             slot = ws.take()  # fc2^T [D, F]
-            mlp_out = jax.lax.dot_general(
-                hmid, wchunk(slot, _FC2T, l, F),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(dt) + fc2_b.astype(dt)
+            mlp_out = wscaled(
+                jax.lax.dot_general(
+                    hmid, wchunk(slot, F),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt),
+                _FC2T, l, 0, D,
+            ) + fc2_b.astype(dt)
             ws.refill()
             x = x + mlp_out.astype(jnp.float32)
 
@@ -609,6 +666,7 @@ def fused_greedy_decode(
     P = ftp.pos.shape[0]
     dt = jnp.dtype(compute_dtype)
     int8_stream = ftp.w_scales is not None
+    int8_kv = ftp.mem_scales is not None
     mem_chunk = _MEM_CHUNK or (M if M <= 32 else pl.cdiv(M, 3))
     mem_chunk = min(mem_chunk, M)
     t_chunk = min(T, 8)
@@ -617,6 +675,7 @@ def fused_greedy_decode(
         L=L, D=D, F=F, M=M, B=B, V=V, E=E, T=T, P=P, heads=n_heads,
         start_idx=start_idx, padding_idx=padding_idx, dt=dt,
         mem_chunk=mem_chunk, t_chunk=t_chunk, int8_stream=int8_stream,
+        int8_kv=int8_kv,
     )
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     resident = lambda shape: pl.BlockSpec(
@@ -624,12 +683,17 @@ def fused_greedy_decode(
     )
     nbytes = jnp.dtype(dt).itemsize
     w_nbytes = 1 if int8_stream else nbytes
+    m_nbytes = 1 if int8_kv else nbytes
     wbuf_dtype = jnp.int8 if int8_stream else dt
-    # bf16 mode never reads the scales ref; feed a 1-row dummy
+    membuf_dtype = jnp.int8 if int8_kv else dt
+    # disabled modes never read their scales ref; feed 1-row dummies
     wsc = (
         ftp.w_scales
         if int8_stream
         else jnp.zeros((1, 1, 128), jnp.float32)
+    )
+    msc = (
+        ftp.mem_scales if int8_kv else jnp.zeros((1, 1, 128), jnp.float32)
     )
     flops_step = 2 * B * (
         L * ((6 * D + 2 * F) * D + (T + M) * D + (T + M) * n_heads * D)
@@ -645,6 +709,7 @@ def fused_greedy_decode(
             pl.BlockSpec(memory_space=pl.ANY),  # w_fc2t (HBM, manual DMA)
             pl.BlockSpec(memory_space=pl.ANY),  # mem_kv (HBM, manual DMA)
             resident(wsc.shape),
+            resident(msc.shape),
             resident(ftp.table.shape),
             resident(ftp.smalls.shape),
             resident(ftp.fc1_b.shape),
@@ -664,14 +729,17 @@ def fused_greedy_decode(
             pltpu.VMEM((L, T, B, D), dt),  # vcache
             pltpu.VMEM((B, D), jnp.float32),  # x_s residual stream
             pltpu.VMEM((_W_SLOTS, D, max(3 * D, F)), wbuf_dtype),  # wbuf ring
-            pltpu.VMEM((_MEM_SLOTS, mem_chunk, B, D), dt),  # membuf ring
+            pltpu.VMEM((_MEM_SLOTS, mem_chunk, B, D), membuf_dtype),  # membuf
             pltpu.SemaphoreType.DMA((_W_SLOTS,)),  # wsem
             pltpu.SemaphoreType.DMA((_MEM_SLOTS,)),  # msem
         ],
         cost_estimate=pl.CostEstimate(
             flops=T * flops_step,
             bytes_accessed=T
-            * ((6 * D + 2 * F) * L * D * w_nbytes + 2 * L * M * B * D * nbytes),
+            * (
+                (6 * D + 2 * F) * L * D * w_nbytes
+                + 2 * L * M * B * D * m_nbytes
+            ),
             transcendentals=T * B * (L * (T + M + 2 * F) + V),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -680,7 +748,7 @@ def fused_greedy_decode(
         interpret=interpret,
     )(
         ftp.w_qkv, ftp.w_misc, ftp.w_fc1, ftp.w_fc2t, ftp.mem_kv,
-        wsc, ftp.table, ftp.smalls, ftp.fc1_b, ftp.sel,
+        wsc, msc, ftp.table, ftp.smalls, ftp.fc1_b, ftp.sel,
         ftp.in_proj_w, ftp.in_proj_b, ftp.pos, ftp.lnf, ftp.out_proj_w,
         ftp.out_proj_b, ftp.out_bias,
     )

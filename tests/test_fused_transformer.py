@@ -35,7 +35,7 @@ def setup():
         params, img_embed, global_feat, dims.num_heads, jnp.float32
     )
     assert FT.fused_dims_ok(params, dims, B, 5)
-    return dims, params, pre, B
+    return dims, params, pre, B, img_embed, global_feat
 
 
 def _interp_fused(monkeypatch):
@@ -52,7 +52,7 @@ def _interp_fused(monkeypatch):
 def test_fused_decode_matches_xla_f32(setup, monkeypatch):
     """Whole-decode kernel (interpret) == the XLA KV-cached scan, id-for-id
     in f32 (bf16 rounding points become no-ops, so the paths are exact)."""
-    dims, params, pre, B = setup
+    dims, params, pre, B, _ie, _gf = setup
     _interp_fused(monkeypatch)
     ids_fused = TF.greedy_decode_ids(
         params, pre, dims, max_length=5, compute_dtype=jnp.float32,
@@ -70,7 +70,7 @@ def test_fused_decode_matches_xla_f32(setup, monkeypatch):
 def test_fused_decode_pads_small_batches(setup, monkeypatch, small_b):
     """B below the 8-row gate is padded into the kernel and sliced back —
     the transformer analog of the LSTM family's single-image fast path."""
-    dims, params, pre, B = setup
+    dims, params, pre, B, _ie, _gf = setup
     _interp_fused(monkeypatch)
     pre_s = TransformerPre(
         tuple(k[:small_b] for k in pre.mem_k),
@@ -118,10 +118,10 @@ def test_fused_decode_multi_mem_chunks(monkeypatch):
 def test_int8_artifact_streams_int8_and_matches_xla_ids(setup, monkeypatch):
     """An int8-quantized artifact keeps its four weight streams int8 in HBM
     (HALF the decode's dominant traffic — the point of the quantized
-    bundle) with in-kernel dequantization, and the fused decode's ids match
-    the XLA int8 path id-for-id (the in-kernel dequant uses the exact
-    f32-multiply-then-round of ops.quantization.dense_weight)."""
-    dims, params, pre, B = setup
+    bundle), and the fused decode's ids match the XLA int8 path id-for-id:
+    the kernel applies each per-output-channel scale to the consumer dot's
+    OUTPUT, the exact ``(x @ w_q) * scale`` of ops/layers.py dense."""
+    dims, params, pre, B, _ie, _gf = setup
     q = TF.quantize_transformer_decoder(params)
     ftp_q = FT.prepare(q, pre, dims.num_heads, jnp.float32)
     assert ftp_q.w_qkv.dtype == jnp.int8
@@ -139,8 +139,95 @@ def test_int8_artifact_streams_int8_and_matches_xla_ids(setup, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ids_fused), np.asarray(ids_ref))
 
 
+def test_quantize_kv_exact_on_integer_memory(setup, monkeypatch):
+    """quantize_kv plumbing pinned exactly: with integer-valued memory whose
+    per-channel absmax is exactly 127, the int8 quantization grid is the
+    identity (scale == 1.0), so the int8-kv decode must equal the
+    full-precision fused decode id-for-id — this exercises the quantize /
+    int8-stream / scale-folding path with zero tolerance. (On real-valued
+    memory the mode is approximate by design; its quality is a serving
+    property, measured on trained models.)"""
+    dims, params, pre, B, _ie, _gf = setup
+    rng = np.random.RandomState(3)
+    dh = dims.model_dim // dims.num_heads
+
+    def int_mem(shape):
+        m = rng.randint(-127, 128, shape).astype(np.float32)
+        m[0, 0] = 127.0  # every feature channel sees absmax exactly 127
+        return jnp.asarray(m)
+
+    M = 6
+    pre_i = TransformerPre(
+        tuple(
+            int_mem((B, M, dims.num_heads, dh)) for _ in range(dims.num_layers)
+        ),
+        tuple(
+            int_mem((B, M, dims.num_heads, dh)) for _ in range(dims.num_layers)
+        ),
+    )
+    _interp_fused(monkeypatch)
+    ids_kv = TF.greedy_decode_ids(
+        params, pre_i, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=True, quantize_kv=True,
+    )
+    ids_full = TF.greedy_decode_ids(
+        params, pre_i, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_kv), np.asarray(ids_full))
+
+
+def test_precompute_mbd_matches_packed_pre(setup):
+    """precompute_mbd (projections on the pre-transposed memory, emitted
+    directly in kernel layout) packs to the SAME [L, 2, M, B, D] tensor as
+    packing a standard heads-layout TransformerPre — bitwise: each output
+    row is the same row-by-column MXU contraction."""
+    dims, params, pre, B, img_embed, global_feat = setup
+    pre_mbd = TF.precompute_mbd(params, img_embed, global_feat, jnp.float32)
+    ftp_a = FT.prepare(params, pre, dims.num_heads, jnp.float32)
+    ftp_b = FT.prepare(params, pre_mbd, dims.num_heads, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(ftp_a.mem_kv), np.asarray(ftp_b.mem_kv)
+    )
+
+
+def test_mbd_pre_decodes_and_falls_back(setup, monkeypatch):
+    """greedy_decode_ids accepts the MBD-layout pre on the fused path
+    (same ids as the standard pre), and converts it back to the per-head
+    layout when the gate rejects the shape (max_length beyond the learned
+    positions forces the XLA fallback here)."""
+    dims, params, pre, B, img_embed, global_feat = setup
+    pre_mbd = TF.precompute_mbd(params, img_embed, global_feat, jnp.float32)
+    _interp_fused(monkeypatch)
+    ids_mbd = TF.greedy_decode_ids(
+        params, pre_mbd, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=True,
+    )
+    ids_std = TF.greedy_decode_ids(
+        params, pre, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_mbd), np.asarray(ids_std))
+    # fused-path bypass (early_stop) with an MBD pre: converts back to the
+    # XLA fallback's per-head layout (3 rows also keeps the CPU-only suite
+    # off the TPU-only fused vocab head)
+    pre_mbd3 = TF.TransformerPreMBD(pre_mbd.mem_kv[:, :, :, :3, :])
+    pre3 = TransformerPre(
+        tuple(k[:3] for k in pre.mem_k), tuple(v[:3] for v in pre.mem_v)
+    )
+    ids_fb = TF.greedy_decode_ids(
+        params, pre_mbd3, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=True, early_stop=True,
+    )
+    ids_xla = TF.greedy_decode_ids(
+        params, pre3, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=False, early_stop=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_fb), np.asarray(ids_xla))
+
+
 def test_gate_rejects_tiny_and_early_stop(setup):
-    dims, params, pre, B = setup
+    dims, params, pre, B, _ie, _gf = setup
     tiny = TransformerDims(
         vocab_size=50, embedding_size=8, model_dim=16, num_layers=1,
         num_heads=2, mlp_ratio=2, max_positions=4,
