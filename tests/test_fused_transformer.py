@@ -175,6 +175,13 @@ def test_quantize_kv_exact_on_integer_memory(setup, monkeypatch):
         use_pallas=True,
     )
     np.testing.assert_array_equal(np.asarray(ids_kv), np.asarray(ids_full))
+    # the XLA fallback's quantize_kv emulation (quantize_kv_pre) uses the
+    # same grid: identity here too, so all three paths agree id-for-id
+    ids_xla_kv = TF.greedy_decode_ids(
+        params, pre_i, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=False, quantize_kv=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_xla_kv), np.asarray(ids_full))
 
 
 def test_precompute_mbd_matches_packed_pre(setup):
@@ -208,9 +215,8 @@ def test_mbd_pre_decodes_and_falls_back(setup, monkeypatch):
         use_pallas=True,
     )
     np.testing.assert_array_equal(np.asarray(ids_mbd), np.asarray(ids_std))
-    # fused-path bypass (early_stop) with an MBD pre: converts back to the
-    # XLA fallback's per-head layout (3 rows also keeps the CPU-only suite
-    # off the TPU-only fused vocab head)
+    # early_stop with an MBD pre at 3 rows: pads into the fused kernel
+    # (early_stop is fused since r5) and must match the XLA early-stop path
     pre_mbd3 = TF.TransformerPreMBD(pre_mbd.mem_kv[:, :, :, :3, :])
     pre3 = TransformerPre(
         tuple(k[:3] for k in pre.mem_k), tuple(v[:3] for v in pre.mem_v)
@@ -226,6 +232,55 @@ def test_mbd_pre_decodes_and_falls_back(setup, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ids_fb), np.asarray(ids_xla))
 
 
+@pytest.mark.parametrize("stop_bias", [0.0, 2.5, 1e4])
+def test_fused_early_stop_matches_xla(setup, monkeypatch, stop_bias):
+    """In-kernel early stop == the XLA while_loop early-stop path id-for-id
+    (VERDICT r4 #2): done rows emit <pad>, a row is done once it emits
+    <stop>, post-all-done steps write nothing (ids stay <pad>). Three
+    regimes: never stops (random params), mixed mid-decode stops (a modest
+    stop bias makes rows stop at different steps), all-stop-at-step-0 (the
+    best-case bracket the bench measures)."""
+    dims, params, pre, B, _ie, _gf = setup
+    p = dict(params)
+    p["out_bias"] = params["out_bias"].at[3].add(stop_bias)
+    _interp_fused(monkeypatch)
+    ids_fused = TF.greedy_decode_ids(
+        p, pre, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=True, early_stop=True,
+    )
+    ids_ref = TF.greedy_decode_ids(
+        p, pre, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=False, early_stop=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_fused), np.asarray(ids_ref))
+    if stop_bias >= 1e4:  # all rows stop at step 0; rest is <pad>
+        assert np.all(np.asarray(ids_fused)[:, 0] == 3)
+        assert np.all(np.asarray(ids_fused)[:, 1:] == 0)
+
+
+def test_fused_early_stop_padded_batch(setup, monkeypatch):
+    """Gate-padded rows start done under early_stop (they must not keep the
+    batch alive past the real rows' last <stop>), and the sliced-back ids
+    still match the XLA early-stop path on the unpadded batch."""
+    dims, params, pre, B, _ie, _gf = setup
+    p = dict(params)
+    p["out_bias"] = params["out_bias"].at[3].add(1e4)  # all stop at step 0
+    _interp_fused(monkeypatch)
+    pre_s = TransformerPre(
+        tuple(k[:3] for k in pre.mem_k), tuple(v[:3] for v in pre.mem_v)
+    )
+    ids_fused = TF.greedy_decode_ids(
+        p, pre_s, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=True, early_stop=True,
+    )
+    ids_ref = TF.greedy_decode_ids(
+        p, pre_s, dims, max_length=5, compute_dtype=jnp.float32,
+        use_pallas=False, early_stop=True,
+    )
+    assert ids_fused.shape == (3, 5)
+    np.testing.assert_array_equal(np.asarray(ids_fused), np.asarray(ids_ref))
+
+
 def test_gate_rejects_tiny_and_early_stop(setup):
     dims, params, pre, B, _ie, _gf = setup
     tiny = TransformerDims(
@@ -236,9 +291,8 @@ def test_gate_rejects_tiny_and_early_stop(setup):
     assert not FT.fused_dims_ok(tiny_params, tiny, 8, 3)
     # max_length beyond the learned positions must be rejected
     assert not FT.fused_dims_ok(params, dims, 8, 99)
-    # early_stop keeps the XLA while_loop path — the fused-decode dispatch
-    # is syntactically gated on ``not early_stop`` (use_pallas=False here
-    # because the remaining fused VOCAB-HEAD path is TPU-only)
+    # the XLA while_loop early-stop fallback (use_pallas=False here because
+    # the fused VOCAB-HEAD path is TPU-only) stays shape-correct
     ids = TF.greedy_decode_ids(
         params, pre, dims, max_length=5, compute_dtype=jnp.float32,
         use_pallas=False, early_stop=True,

@@ -17,6 +17,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = [pytest.mark.slow, pytest.mark.quality]
+
 from myimagecaptioningmodel_tpu import config as config_mod
 from myimagecaptioningmodel_tpu.data import dataset_gen
 from myimagecaptioningmodel_tpu.evaluation import evaluate as evaluate_mod

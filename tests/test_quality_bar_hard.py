@@ -24,6 +24,13 @@ strictly more sensitive.
 Both arms run the thin encoder (``model.encoder_scale = 0.35`` — the
 reference MobileNetV2.py:24 width multiplier), which keeps the CPU cost of
 the suite bounded and exercises the scaled-encoder path end-to-end.
+
+Round 5 additions (VERDICT r4 #3/#6): the full arm is a module fixture
+shared across tests (one training, several consumers), a transformer-family
+arm trains on the same corpus, and the approximate serving modes (int8,
+int8+quantize_kv) are band-tested against their own trained bundles —
+BENCH's advertised modes each have a quality number that fails on silent
+degradation.
 """
 
 import json
@@ -36,6 +43,8 @@ from myimagecaptioningmodel_tpu import config as config_mod
 from myimagecaptioningmodel_tpu.data import dataset_gen
 from myimagecaptioningmodel_tpu.evaluation import evaluate as evaluate_mod
 from myimagecaptioningmodel_tpu.training import loop
+
+pytestmark = [pytest.mark.slow, pytest.mark.quality]
 
 SUBJECTS = [
     ((230, 40, 40), "男人"),
@@ -78,7 +87,25 @@ def _make_corpus(root):
     return img_dir, ann
 
 
-def _cfg(root, ds, img_dir, ann, hidden, emb, tag):
+def _cfg(root, ds, img_dir, ann, hidden, emb, tag, arch=None, lr=2e-3,
+         epochs=EPOCHS):
+    decoder = {
+        "vocab_size": 0,
+        "embedding_size": emb,
+        "sentence_length": 0,
+        "hidden_dim": hidden,
+        "infer_max_length": 10,
+    }
+    if arch == "transformer":
+        # recipe probed on this corpus (round 5): lr 1e-3 reaches dev/test
+        # BLEU-4 = 1.0 (dev 1.0 from ~epoch 25 of 40); the LSTM's 2e-3
+        # overshoots the smaller transformer the same way it did on the
+        # 3-class corpus (tests/test_quality_bar.py ARCHS note)
+        decoder.update(
+            {"arch": "transformer", "num_layers": 2, "num_heads": 4,
+             "mlp_ratio": 2}
+        )
+        lr = 1e-3
     return config_mod.Config.from_dict(
         {
             "build_dataset": {
@@ -96,22 +123,16 @@ def _cfg(root, ds, img_dir, ann, hidden, emb, tag):
             },
             "train": {
                 "seed": 0,
-                "learning_rate": 2e-3,
+                "learning_rate": lr,
                 "batch_size": 16,
-                "max_epoch": EPOCHS,
+                "max_epoch": epochs,
                 "lr_decay_strategy": "cosine_decay",
-                "decay_epoch": EPOCHS,
+                "decay_epoch": epochs,
                 "log_every_n_step": 100,
                 "checkpoint_path": str(root / f"save_{tag}"),
             },
             "model": {
-                "decoder": {
-                    "vocab_size": 0,
-                    "embedding_size": emb,
-                    "sentence_length": 0,
-                    "hidden_dim": hidden,
-                    "infer_max_length": 10,
-                },
+                "decoder": decoder,
                 "compute_dtype": "float32",
                 "encoder_scale": 0.35,
             },
@@ -130,9 +151,10 @@ def corpus(tmp_path_factory):
     return root, ds, img_dir, ann, summary
 
 
-def _train_and_eval(corpus, hidden, emb, tag):
+def _train(corpus, hidden, emb, tag, arch=None):
     root, ds, img_dir, ann, summary = corpus
-    cfg = _cfg(root, ds, img_dir, ann, hidden=hidden, emb=emb, tag=tag)
+    cfg = _cfg(root, ds, img_dir, ann, hidden=hidden, emb=emb, tag=tag,
+               arch=arch)
     cfg = config_mod.replace_nested(
         cfg, "model.decoder.vocab_size", summary["tokenize"]["vocab_size"]
     )
@@ -141,24 +163,78 @@ def _train_and_eval(corpus, hidden, emb, tag):
     )
     result = loop.train(cfg, mesh=None)
     assert np.isfinite(result["last_epoch_loss"])
-    out = {}
-    for mode in ("dev", "test"):
-        res = evaluate_mod.evaluate(cfg, bundle="infer", mode=mode)
-        out[mode] = res["bleu"]
-    return out
+    return cfg
 
 
-def test_compositional_bar_discriminates(corpus):
+def _bleu4(cfg, **kw):
+    return {
+        mode: evaluate_mod.evaluate(cfg, bundle="infer", mode=mode, **kw)[
+            "bleu"
+        ][3]
+        for mode in ("dev", "test")
+    }
+
+
+@pytest.fixture(scope="module")
+def full_arm(corpus):
+    """The production-capacity LSTM arm, trained ONCE per session and shared
+    by the discrimination test and the serving-mode band tests (VERDICT r4
+    #6: one trained bundle across arms where soundness allows)."""
+    return _train(corpus, hidden=128, emb=32, tag="full")
+
+
+@pytest.fixture(scope="module")
+def transformer_arm(corpus):
+    """The transformer-family arm on the same compositional corpus — the
+    trained bundle the approximate serving modes (int8 / quantize_kv) are
+    band-tested against (VERDICT r4 #3)."""
+    return _train(corpus, hidden=128, emb=32, tag="tf", arch="transformer")
+
+
+def test_compositional_bar_discriminates(corpus, full_arm):
     """Full-capacity model clears the bar; the capacity-crippled mutant —
     trained with the byte-identical recipe on the same corpus — lands well
     below it. A silent quality regression now has a number to fail."""
-    full = _train_and_eval(corpus, hidden=128, emb=32, tag="full")
+    full = _bleu4(full_arm)
     for mode in ("dev", "test"):
-        assert full[mode][3] >= 0.9, (mode, full)
+        assert full[mode] >= 0.9, (mode, full)
 
-    crippled = _train_and_eval(corpus, hidden=16, emb=16, tag="crippled")
+    crippled_cfg = _train(corpus, hidden=16, emb=16, tag="crippled")
+    crippled = _bleu4(crippled_cfg)
     for mode in ("dev", "test"):
-        assert crippled[mode][3] <= 0.75, (mode, crippled)
+        assert crippled[mode] <= 0.75, (mode, crippled)
+
+
+def test_int8_band_lstm(full_arm):
+    """int8 weight quantization must not move BLEU-4 beyond noise on the
+    trained LSTM bundle (reference metric path evaluate.py:57-72). Measured
+    round 5: delta == 0.0 on both splits."""
+    base = _bleu4(full_arm)
+    q = _bleu4(full_arm, quantize=True)
+    for mode in ("dev", "test"):
+        assert abs(q[mode] - base[mode]) <= 0.02, (mode, base, q)
+
+
+def test_transformer_bar_and_serving_bands(transformer_arm):
+    """The transformer family clears the compositional bar, and every
+    serving mode the bench advertises carries a quality band on this
+    trained bundle (VERDICT r4 #3):
+      - int8 weights: BLEU-4 == full within noise (|delta| <= 0.02);
+      - int8 + quantize_kv (approximate by design — per-channel int8
+        cross-attention memory): BLEU-4 >= full - 0.05.
+    Measured round 5: full = int8 = int8+kv = kv-only = 1.0 on both splits
+    (the modes are lossless on this corpus's margins); the asserted bands
+    leave room for grid noise without letting a real degradation through.
+    On CPU the quantize_kv error model is transformer.quantize_kv_pre — the
+    same absmax/127 grid the fused kernel's int8 memory stream uses."""
+    base = _bleu4(transformer_arm)
+    for mode in ("dev", "test"):
+        assert base[mode] >= 0.9, (mode, base)
+    q8 = _bleu4(transformer_arm, quantize=True)
+    q8kv = _bleu4(transformer_arm, quantize=True, quantize_kv=True)
+    for mode in ("dev", "test"):
+        assert abs(q8[mode] - base[mode]) <= 0.02, (mode, base, q8)
+        assert q8kv[mode] >= base[mode] - 0.05, (mode, base, q8kv)
 
 
 def test_crippled_mutant_passes_old_bar(tmp_path):
