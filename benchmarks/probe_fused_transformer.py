@@ -78,6 +78,17 @@ def main():
     )
     ftpkv = jax.block_until_ready(ftpkv)
 
+    # device-time basis (bench.py methodology, VERDICT r4 #1 follow-up):
+    # ITERS whole decodes inside ONE dispatch via lax.scan — the tunnel RTT
+    # (observed anywhere from 0.02 ms to ~24 ms depending on the day) is
+    # paid once per dispatch and subtracted. Each iteration perturbs the
+    # f32 in_proj bias by k*1e-6 so XLA cannot CSE the scan body.
+    from bench import measure_dispatch_rtt
+
+    rtt = measure_dispatch_rtt()
+    log(f"measured dispatch RTT: {rtt * 1000:.2f} ms (subtracted)")
+
+    defaults = (FT._MEM_SLOTS, FT._W_SLOTS, FT._MEM_CHUNK)
     results = {}
     for name in variants:
         # tuning variants: "tune-<mem_slots>-<w_slots>-<mem_chunk>"
@@ -87,32 +98,39 @@ def main():
             FT._MEM_SLOTS, FT._W_SLOTS, FT._MEM_CHUNK = ms_, ws_, mc_
         else:
             FT._ABLATE = frozenset() if name == "full" else frozenset([name])
-            FT._MEM_SLOTS, FT._W_SLOTS, FT._MEM_CHUNK = 4, 3, 0
+            FT._MEM_SLOTS, FT._W_SLOTS, FT._MEM_CHUNK = defaults
         FT.fused_greedy_decode.clear_cache()
         arg = {"int8": ftp8, "int8kv": ftp8kv, "kvonly": ftpkv}.get(name, ftp)
         if name in ("int8", "int8kv", "kvonly"):
             FT._ABLATE = frozenset()
-        run = jax.jit(
-            lambda f: FT.fused_greedy_decode(
-                f, T, opts.tdims.num_heads, start_idx=opts.start_idx,
-                padding_idx=opts.padding_idx, compute_dtype=opts.dtype,
-            )
-        )
+        def run_k(f):
+            def body(carry, k):
+                fk = f._replace(
+                    in_proj_b=f.in_proj_b + k.astype(jnp.float32) * 1e-6
+                )
+                ids = FT.fused_greedy_decode(
+                    fk, T, opts.tdims.num_heads, start_idx=opts.start_idx,
+                    padding_idx=opts.padding_idx, compute_dtype=opts.dtype,
+                )
+                return carry, ids[:, 0]
+
+            _, outs = jax.lax.scan(body, 0, jnp.arange(ITERS))
+            return outs
+
+        run = jax.jit(run_k)
         t0 = time.time()
         ids = jax.block_until_ready(run(arg))
-        log(f"{name}: compile+first {time.time() - t0:.1f}s ids {ids.shape}")
+        log(f"{name}: compile+first {time.time() - t0:.1f}s")
         best = float("inf")
         for _ in range(REPS):
             t0 = time.time()
-            for _ in range(ITERS):
-                ids = run(arg)
-            jax.block_until_ready(ids)
-            best = min(best, (time.time() - t0) / ITERS)
+            jax.block_until_ready(run(arg))
+            best = min(best, (time.time() - t0 - rtt) / ITERS)
         results[name] = best * 1000
-        log(f"{name}: {best * 1000:.2f} ms/batch "
+        log(f"{name}: {best * 1000:.2f} ms/batch device "
             f"({best * 1e6 / T:.0f} us/step)")
     FT._ABLATE = frozenset()
-    FT._MEM_SLOTS, FT._W_SLOTS, FT._MEM_CHUNK = 4, 3, 0
+    FT._MEM_SLOTS, FT._W_SLOTS, FT._MEM_CHUNK = defaults
 
     full = results.get("full")
     if full:

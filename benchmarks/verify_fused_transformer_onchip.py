@@ -123,13 +123,53 @@ def main():
         f"({pb_as * 1000:.2f} ms/batch) — {cps_as / cps_f:.2f}x the "
         "fixed-scan number")
 
+    # ---- whole-decode fused beam (VERDICT r4 #4) ---------------------------
+    # ids equality fused vs the XLA beam scan in bf16 (untrained weights —
+    # near-uniform logits, the adversarial argmax/top-k case; exactness is
+    # pinned in f32 interpret by tests/test_fused_transformer.py), plus the
+    # sustained device-time numbers for both.
+    from myimagecaptioningmodel_tpu.inference.beam import beam_decode
+
+    BEAM, BEAM_BATCH = 4, 32
+    imgs_b = images[:BEAM_BATCH]
+    dec_b = jax.jit(
+        lambda p, s, x: beam_decode(p, s, x, opts, BEAM)[0]
+    )
+    dec_b_xla = jax.jit(
+        lambda p, s, x: beam_decode(p, s, x, opts_xla, BEAM)[0]
+    )
+    t0 = time.time()
+    ids_bf = jax.block_until_ready(dec_b(params, state, imgs_b))
+    log(f"fused beam compile+first run: {time.time() - t0:.1f}s")
+    ids_bx = jax.block_until_ready(dec_b_xla(params, state, imgs_b))
+    a, b = np.asarray(ids_bf), np.asarray(ids_bx)
+    eq_beam = (a == b).mean()
+    log(f"beam ids equality fused vs XLA (bf16, untrained): {eq_beam:.2%}")
+    cps_bf, pb_bf, _ = sustained_captions_per_sec(
+        lambda p, s, x: beam_decode(p, s, x, opts, BEAM)[0],
+        params, state, imgs_b, ITERS, rtt=rtt,
+    )
+    log(f"FUSED beam-{BEAM}: {cps_bf:.1f} captions/s "
+        f"({pb_bf * 1000:.2f} ms/batch of {BEAM_BATCH})")
+    cps_bx, pb_bx, _ = sustained_captions_per_sec(
+        lambda p, s, x: beam_decode(p, s, x, opts_xla, BEAM)[0],
+        params, state, imgs_b, ITERS, rtt=rtt,
+    )
+    log(f"XLA   beam-{BEAM}: {cps_bx:.1f} captions/s "
+        f"({pb_bx * 1000:.2f} ms/batch; fused speedup "
+        f"{cps_bf / cps_bx:.2f}x; per-caption vs fused greedy "
+        f"{(pb_bf / BEAM_BATCH) / (pb_f / BATCH):.2f}x)")
+
     print(
         f'{{"fused_captions_per_sec": {cps_f:.1f}, '
         f'"xla_captions_per_sec": {cps_x:.1f}, '
         f'"ids_equal_frac": {eq:.4f}, '
         f'"early_stop_ids_equal_frac": {eq_es:.4f}, '
         f'"early_stop_neverstop_cps": {cps_es:.1f}, '
-        f'"early_stop_allstop_cps": {cps_as:.1f}}}'
+        f'"early_stop_allstop_cps": {cps_as:.1f}, '
+        f'"beam_ids_equal_frac": {eq_beam:.4f}, '
+        f'"fused_beam_captions_per_sec": {cps_bf:.1f}, '
+        f'"xla_beam_captions_per_sec": {cps_bx:.1f}}}'
     )
 
 

@@ -27,7 +27,10 @@ with t — live in VMEM scratch across the whole decode and never touch HBM:
                                                        argmax head)
         in/out projections, LNs, biases, positions    (small)
     ring-buffered HBM streams, per step (~222 MB/step -> ~271 us/step
-    bandwidth floor at the v5e's 819 GB/s):
+    bandwidth floor at the v5e's 819 GB/s paper number; the ring's
+    measured achievable rate is ~751 GB/s = 92% -> ~296 us/step, and the
+    full kernel runs ~334 us/step = achievable floor + ~38 us of exposed
+    MXU chain — see benchmarks/fused_transformer_roofline.md):
         layer weights  4 contiguous chunk arrays (qkv | wo,xq,xo | fc1 | fc2^T)
         cross-attn K/V [L, 2, M, B, D] in M-chunks
 
@@ -78,7 +81,12 @@ _ABLATE: frozenset = frozenset()
 # alongside the 73 MB of self-attn caches, so BOTH are per-step streams
 # and the kernel is bandwidth-bound at ~222 MB/step.
 _W_SLOTS: int = 3
-_MEM_SLOTS: int = 4
+# 3 (not 4): ring-depth was measured perf-neutral (benchmarks/
+# fused_transformer_roofline.md "DMA ring tuning") and the 4th slot's
+# 4.45 MB pushed the early_stop variant's compiled program to 128.42 MB —
+# 435 KB past the v5e's 128 MB VMEM (Mosaic transients sit on top of the
+# gate's static estimate, so the static budget needs real headroom).
+_MEM_SLOTS: int = 3
 _MEM_CHUNK: int = 0  # 0 = auto (cdiv(M, 3) above 32 rows)
 
 
@@ -309,6 +317,24 @@ def _dot(a, b, dt):
     ).astype(dt)
 
 
+class _Guard:
+    """Conditionally-issued async copy: ``start()`` fires only under
+    ``pred`` (used for the cross-step prefetch tail, which must not issue
+    on the final grid step — nothing would ever wait it); ``wait()`` is
+    unconditional (only reached on steps where the issue did fire)."""
+
+    def __init__(self, copy, pred):
+        self.copy, self.pred = copy, pred
+
+    def start(self):
+        @pl.when(self.pred)
+        def _():
+            self.copy.start()
+
+    def wait(self):
+        self.copy.wait()
+
+
 class _Stream:
     """Static double-buffered DMA stream: ``makes[i](slot)`` builds the DMA
     for chunk i into buffer slot ``i % 2``. prime() starts chunks 0..1;
@@ -345,15 +371,31 @@ class _Stream:
         self._issue()
 
 
+NEG_INF = -1e9  # beam score floor — MUST equal transformer.NEG_INF
+_MASKED = -1e30  # top-k extraction mask; below any real logit AND NEG_INF
+
+
 def _build_kernel(
     *, L: int, D: int, F: int, M: int, B: int, V: int, E: int, T: int,
     P: int, heads: int, start_idx: int, padding_idx: int, dt,
     mem_chunk: int, t_chunk: int, int8_stream: bool, int8_kv: bool,
     early_stop: bool = False, stop_idx: int = 3, valid_rows: int = None,
+    beam: int = 0, n_img: int = 0, w_slots: int = None, mem_slots: int = None,
 ):
+    """``beam`` > 0 switches the kernel to fused beam search (see
+    ``fused_beam_decode``): B = n_img * beam decode rows in SLOT-MAJOR order
+    (beam slot w owns rows [w*n_img, (w+1)*n_img)), the cross-attention
+    memory streams UNREPEATED [L, 2, M, n_img, D] (each image's K/V serves
+    its `beam` rows — a 1/beam cut of the decode's largest stream), and the
+    argmax head is replaced by the per-beam top-W selection of
+    transformer.beam_search_ids' fused-head path (exact: for a fixed beam
+    only its best W words can win a next-beam slot)."""
     dh = D // heads
     n_mc = pl.cdiv(M, mem_chunk)
     n_valid = B if valid_rows is None else valid_rows
+    Bm = n_img if beam else B  # rows per streamed memory chunk
+    WS = _W_SLOTS if w_slots is None else w_slots
+    MS = _MEM_SLOTS if mem_slots is None else mem_slots
 
     # ---- probe-only VPU stand-ins (benchmarks/probe_fused_transformer) ----
     # "novpu" swaps every serial VPU chain (LayerNorm, softmax, gelu) for a
@@ -377,24 +419,36 @@ def _build_kernel(
             return h
         return jax.nn.gelu(h, approximate=True)
 
-    def kernel(
+    def kernel(*refs):
         # streamed (ANY/HBM) inputs: contiguous per-chunk-type weight
         # arrays (a column slice of one packed [L, D, 14D] block would be a
-        # row-strided DMA; these are single contiguous blocks) + memory
-        wq_ref, wm_ref, wf1_ref, wf2t_ref, mem_kv_ref,
-        # VMEM-resident inputs (wsc_ref / msc_ref: per-channel scales for
-        # the int8 weight / memory streams; never-read dummies when off)
-        wsc_ref, msc_ref, table_ref, smalls_ref, fc1_b_ref, sel_ref,
-        in_proj_w_ref,
-        in_proj_b_ref, pos_ref, lnf_ref, out_proj_w_ref, out_proj_b_ref,
-        out_bias_ref,
-        # outputs
-        ids_ref,
-        # scratch (done_v / all_done_s: early-stop state — per-row done
-        # mask in VMEM, all-rows-done flag in SMEM; dormant when
-        # early_stop=False)
-        kcache, vcache, x_s, done_v, all_done_s, wbuf, membuf, wsem, msem,
-    ):
+        # row-strided DMA; these are single contiguous blocks) + memory,
+        # then VMEM-resident inputs (wsc_ref / msc_ref: per-channel scales
+        # for the int8 weight / memory streams; never-read dummies when off)
+        (
+            wq_ref, wm_ref, wf1_ref, wf2t_ref, mem_kv_ref,
+            wsc_ref, msc_ref, table_ref, smalls_ref, fc1_b_ref, sel_ref,
+            in_proj_w_ref,
+            in_proj_b_ref, pos_ref, lnf_ref, out_proj_w_ref, out_proj_b_ref,
+            out_bias_ref,
+        ) = refs[:18]
+        if beam:
+            # beam outputs: words + source-beam back-pointers per step, and
+            # the final cumulative scores / caption lengths (row 0 of one
+            # [8, B] tile each; backtracking happens outside the kernel)
+            ids_ref, srcs_ref, scoreo_ref, leno_ref = refs[18:22]
+            rest = refs[22:]
+        else:
+            ids_ref = refs[18]
+            srcs_ref = scoreo_ref = leno_ref = None
+            rest = refs[19:]
+        # scratch (done_v / all_done_s: early-stop AND beam-finished state —
+        # per-row mask in VMEM, all-rows-done flag in SMEM; scores_v /
+        # len_v: beam cumulative scores and lengths, [8, B] row-broadcast)
+        (
+            kcache, vcache, x_s, done_v, all_done_s, scores_v, len_v,
+            wbuf, membuf, wsem, msem,
+        ) = rest
         t = pl.program_id(0)
 
         def wchunk(slot, cols):
@@ -452,7 +506,27 @@ def _build_kernel(
             # (reference early-exit semantics: model_adaAttention_aic.py:
             # 119-125 stop handling, transformer.greedy_decode_ids ids0)
             ids_ref[:] = jnp.full(ids_ref.shape, padding_idx, jnp.int32)
-            if early_stop:
+            if beam:
+                # beam state: slot-0 rows start the live beam (score 0),
+                # slots 1.. start at NEG_INF (transformer.beam_search_ids
+                # scores0); finished/lengths zero; srcs prefilled with the
+                # identity back-pointer (the post-all-finished steady state,
+                # so an early-stop truncated run backtracks identically)
+                col = jax.lax.broadcasted_iota(jnp.int32, scores_v.shape, 1)
+                scores_v[:] = jnp.where(col < n_img, 0.0, NEG_INF).astype(
+                    jnp.float32
+                )
+                len_v[:] = jnp.zeros(len_v.shape, jnp.int32)
+                done_v[:] = jnp.zeros(done_v.shape, jnp.int32)
+                if early_stop:
+                    all_done_s[0] = jnp.int32(0)
+                srcs_ref[:] = (
+                    jax.lax.broadcasted_iota(jnp.int32, srcs_ref.shape, 1)
+                    // n_img
+                )
+                scoreo_ref[:] = scores_v[:]
+                leno_ref[:] = len_v[:]
+            elif early_stop:
                 # gate-padded rows [n_valid, B) start done: they carry no
                 # caption (sliced off by the caller) and must not keep the
                 # batch alive past the real rows' last <stop>
@@ -486,8 +560,8 @@ def _build_kernel(
             return make
 
         def make_mem(i):
-            l, rest = divmod(i, 2 * n_mc)
-            kv, c = divmod(rest, n_mc)
+            l, rest_i = divmod(i, 2 * n_mc)
+            kv, c = divmod(rest_i, n_mc)
             m0 = c * mem_chunk
             mc = min(mem_chunk, M - m0)
 
@@ -499,6 +573,55 @@ def _build_kernel(
                 )
 
             return make
+
+        # ---- cross-step DMA prefetch --------------------------------------
+        # The weight and memory streams re-read the SAME bytes every step, so
+        # the ring can run as one continuous pipeline across the grid: the
+        # tail refills of step t issue step t+1's first ring slots, keeping
+        # both DMA engines busy through the head/argmax/embed tail (which has
+        # no stream of its own) instead of idling ~30 us/step. Slot algebra:
+        # next-step chunk j always lands in slot j % S (what its take() will
+        # wait on); the m-th tail issue fires after chunk (n - S + m) frees
+        # slot (n - S + m) % S, so j_m = (n - S + m) % S. The t == 0
+        # prologue below primes the first slots; _Guard suppresses the tail
+        # on the final grid step (and the early-stop drain in step_body
+        # covers the step that trips all-done).
+        _dmaonly = any(a.startswith("dmaonly") for a in _ABLATE)
+        _skip_w = "dmaonlym" in _ABLATE  # probe: memory stream alone
+        _skip_m = "noxattn" in _ABLATE or "dmaonlyw" in _ABLATE
+        n_w = 0 if _skip_w else 4 * L
+        n_m = 0 if _skip_m else 2 * n_mc * L
+        n_w_pre = min(WS, n_w)
+        n_m_pre = min(MS, n_m)
+        w_pre_chunks = [(n_w - n_w_pre + m) % WS for m in range(n_w_pre)]
+        m_pre_chunks = [(n_m - n_m_pre + m) % MS for m in range(n_m_pre)]
+
+        def gw(j):
+            def make(_slot):  # slot comes from j, not the ring position
+                return _Guard(make_w(j)(j % WS), t < T - 1)
+
+            return make
+
+        def gm(j):
+            def make(_slot):
+                return _Guard(make_mem(j)(j % MS), t < T - 1)
+
+            return make
+
+        @pl.when(t == 0)
+        def _prime():
+            for i in range(n_w_pre):
+                make_w(i)(i % WS).start()
+            for i in range(n_m_pre):
+                make_mem(i)(i % MS).start()
+
+        def drain_prefetch():
+            """Wait the tail-issued next-step slots (early-stop trip step:
+            the skipped steps would never wait them)."""
+            for j in w_pre_chunks:
+                make_w(j)(j % WS).wait()
+            for j in m_pre_chunks:
+                make_mem(j)(j % MS).wait()
 
         sel = sel_ref[:]
         inv_sqrt_dh = 1.0 / (dh**0.5)
@@ -538,12 +661,194 @@ def _build_kernel(
                 )
             return out.astype(dt)  # [B, D] — merged heads
 
+        def beam_select(logits):
+            """Beam head + state update (beam mode only; semantics mirror
+            transformer.beam_search_ids' fused-head branch line by line):
+
+            1. per-row top-W words via W masked argmax passes over the f32
+               logits (exact, same lowest-index tie-break as lax.top_k) and
+               a logsumexp for the log-softmax correction;
+            2. finished source beams are replaced by the single zero-cost
+               <pad> candidate (pad_row semantics);
+            3. per-image top-W over the W*W candidates (flat index w*W+k,
+               lowest-flat-index tie-break == top_k on the reshaped array);
+            4. finished/lengths gathered from the source beam, scores
+               replaced, self-attn KV caches eagerly permuted to the new
+               beam order with an exact one-hot MXU dot per cached step;
+            5. words + back-pointers recorded, next x embedded.
+            """
+            W_ = beam
+            # -- 1. per-row top-W + logsumexp ------------------------------
+            mrow = jnp.max(logits, axis=1)  # [B]
+            lse = (
+                jnp.log(jnp.sum(jnp.exp(logits - mrow[:, None]), axis=1))
+                + mrow
+            )
+            # Everything below stays SUBLANE-major on purpose: Mosaic has no
+            # relayout for [W, n_img] <-> [B] lane/sublane reshapes, so the
+            # group structure is expressed as python-indexed LISTS of
+            # [n_img, 1] column vectors (sublane slices of [B, 1] columns),
+            # combined elementwise and reassembled with a sublane concat.
+            # W*W is tiny (<= 64), so the unrolled elementwise ops are noise
+            # next to the 222 MB/step streams.
+            cur = logits
+            vi = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+            fin_b = done_v[0, :] > 0  # [B] (slot-major flat)
+            sc_flat = scores_v[0, :]  # [B] f32
+            cand_k, cid_k = [], []  # per-k [B] vectors
+            for k in range(W_):
+                vk = jnp.max(cur, axis=1)  # [B]
+                ak = jnp.argmax(cur, axis=1).astype(jnp.int32)
+                cur = jnp.where(vi == ak[:, None], _MASKED, cur)
+                # -- 2. finished beams extend only with <pad>, zero cost ---
+                logp_k = jnp.where(
+                    fin_b, 0.0 if k == 0 else NEG_INF, vk - lse
+                )
+                cand_k.append(sc_flat + logp_k)
+                cid_k.append(jnp.where(fin_b, padding_idx, ak))
+            # -- 3. per-image top-W over the W*W candidates ----------------
+            # group slices: c[w][k] [n_img, 1] = candidate k of source slot
+            # w for every image (rows are slot-major, so slot w is the
+            # contiguous sublane block [w*n_img, (w+1)*n_img))
+            def slot(vec, w):  # [B] -> [n_img, 1] sublane slice
+                return vec[:, None][w * n_img : (w + 1) * n_img, :]
+
+            c = [
+                [slot(cand_k[k], w).astype(jnp.float32) for k in range(W_)]
+                for w in range(W_)
+            ]
+            idc = [
+                [slot(cid_k[k], w) for k in range(W_)] for w in range(W_)
+            ]
+            fin_w = [slot(done_v[0, :], w) for w in range(W_)]  # int32
+            len_w = [slot(len_v[0, :], w) for w in range(W_)]
+            new_scores, new_words, new_srcs = [], [], []
+            new_fins, new_lens = [], []
+            for _ in range(W_):
+                m2 = c[0][0]
+                for w in range(W_):
+                    for k in range(W_):
+                        m2 = jnp.maximum(m2, c[w][k])  # [n_img, 1]
+                # lowest flat index w*W+k among ties — top_k order on the
+                # beam-major flattened candidates (fused-head path parity)
+                flat = jnp.full_like(fin_w[0], W_ * W_)
+                for w in range(W_):
+                    for k in range(W_):
+                        flat = jnp.minimum(
+                            flat, jnp.where(c[w][k] == m2, w * W_ + k, W_ * W_)
+                        )
+                word_j = jnp.zeros_like(fin_w[0])
+                for w in range(W_):
+                    for k in range(W_):
+                        hit = flat == w * W_ + k
+                        word_j = word_j + jnp.where(hit, idc[w][k], 0)
+                        c[w][k] = jnp.where(hit, _MASKED, c[w][k])
+                src_j = flat // W_
+                # -- 4. gather finished/lengths from the source slot -------
+                pf = jnp.zeros_like(fin_w[0])
+                plen = jnp.zeros_like(len_w[0])
+                for w in range(W_):
+                    pick = src_j == w
+                    pf = pf + jnp.where(pick, fin_w[w], 0)
+                    plen = plen + jnp.where(pick, len_w[w], 0)
+                prev_fin = pf > 0
+                new_scores.append(m2)
+                new_words.append(word_j)
+                new_srcs.append(src_j)
+                new_fins.append(
+                    jnp.where(prev_fin | (word_j == stop_idx), 1, 0)
+                )
+                new_lens.append(plen + jnp.where(prev_fin, 0, 1))
+            # reassemble flat slot-major rows: sublane concat of the W
+            # [n_img, 1] columns, minor dim dropped
+            def flat_cat(cols):  # W x [n_img, 1] -> [B]
+                return jnp.concatenate(cols, axis=0)[:, 0]
+
+            word = flat_cat(new_words).astype(jnp.int32)
+            src_flat = flat_cat(new_srcs)
+            new_fin_flat = flat_cat(new_fins)
+            scores_v[:] = jnp.broadcast_to(
+                flat_cat(new_scores)[None, :], scores_v.shape
+            ).astype(jnp.float32)
+            done_v[:] = jnp.broadcast_to(new_fin_flat[None, :], done_v.shape)
+            len_v[:] = jnp.broadcast_to(
+                flat_cat(new_lens)[None, :], len_v.shape
+            )
+            # -- 4b. eager KV-cache reorder by the new beam assignment -----
+            # perm[r, c] = 1 iff new row r's history is old row c: same
+            # image column, source slot src_flat[r]. A one-hot bf16 MXU dot
+            # per cached position is an EXACT row gather (each output row
+            # is one input row). Positions are permuted in chunks of 8
+            # under a t >= c0 predicate — rows past t are still zero from
+            # _init, and perm @ 0 == 0, so over-permuting inside an active
+            # chunk is harmless.
+            ri = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+            perm = (
+                ((ri % n_img) == (ci % n_img))
+                & (src_flat[:, None] == (ci // n_img))
+            ).astype(dt)
+            for l in range(L):
+                for c0 in range(0, T, 8):
+                    @pl.when(t >= c0)
+                    def _reorder(l=l, c0=c0):
+                        for j in range(min(8, T - c0)):
+                            kcache[l, c0 + j] = _dot(
+                                perm, kcache[l, c0 + j], dt
+                            )
+                            vcache[l, c0 + j] = _dot(
+                                perm, vcache[l, c0 + j], dt
+                            )
+            # -- 5. record step outputs, flag all-done, embed next x -------
+            row_t = jax.lax.broadcasted_iota(jnp.int32, ids_ref.shape, 0)
+            ids_ref[:] = jnp.where(row_t == t, word[None, :], ids_ref[:])
+            srcs_ref[:] = jnp.where(
+                row_t == t, src_flat.astype(jnp.int32)[None, :], srcs_ref[:]
+            )
+            scoreo_ref[:] = scores_v[:]
+            leno_ref[:] = len_v[:]
+            if early_stop:
+                all_done = jnp.min(new_fin_flat) > 0
+                all_done_s[0] = all_done.astype(jnp.int32)
+
+                @pl.when(all_done & (t < T - 1))
+                def _drain():
+                    drain_prefetch()
+            pos_idx = jnp.minimum(t + 1, P - 1)
+            x_s[:] = embed_to_x(word, pos_ref[pl.ds(pos_idx, 1), :])
+            return word
+
         def step_body():
-            ws = _Stream([make_w(i) for i in range(4 * L)], _W_SLOTS)
-            n_m_dmas = 0 if "noxattn" in _ABLATE else 2 * n_mc * L
-            ms = _Stream([make_mem(i) for i in range(n_m_dmas)], _MEM_SLOTS)
-            ws.prime()
-            ms.prime()
+            # first n_*_pre chunks are already in flight (the t == 0
+            # prologue, or the previous step's tail refills); the makes
+            # list is extended with next-step issues so the ring pipelines
+            # across the grid without a per-step prime bubble
+            ws = _Stream(
+                [make_w(i) for i in range(n_w)] + [gw(j) for j in w_pre_chunks],
+                WS,
+            )
+            ws.issued = n_w_pre
+            ms = _Stream(
+                [make_mem(i) for i in range(n_m)] + [gm(j) for j in m_pre_chunks],
+                MS,
+            )
+            ms.issued = n_m_pre
+            if _dmaonly:
+                # probe-only: every DMA issued/waited in the production
+                # interleave, ALL compute deleted — measures the achievable
+                # per-step stream time of this ring structure in isolation
+                # (dmaonlyw / dmaonlym: one stream alone)
+                for _l in range(L):
+                    for _ in range(0 if _skip_w else 2):  # qkv, misc
+                        ws.take(); ws.refill()
+                    for _c in range(0 if _skip_m else 2 * n_mc):  # K, V
+                        ms.take(); ms.refill()
+                    for _ in range(0 if _skip_w else 2):  # fc1, fc2t
+                        ws.take(); ws.refill()
+                word = jnp.full((B,), start_idx, jnp.int32)
+                row_t = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0)
+                ids_ref[:] = jnp.where(row_t == t, word[None, :], ids_ref[:])
+                return
             x = x_s[:]
             for l in range(L):
                 q_b, v_b, wo_b, xq_b, xo_b, fc2_b = (
@@ -594,37 +899,55 @@ def _build_kernel(
                         ).astype(dt)
                     else:
                         qk = qx
+                    # beam mode: the streamed chunk holds n_img rows; each
+                    # serves `beam` query groups (slot-major: slot w's
+                    # queries are the contiguous rows [w*n_img, (w+1)*n_img))
+                    n_grp = beam if beam else 1
+                    qks = [
+                        qk[w * Bm : (w + 1) * Bm, :] for w in range(n_grp)
+                    ]
                     # pass 1: scores over all K chunks
-                    xs_parts = []
+                    xs_parts = [[] for _ in range(n_grp)]
                     for c in range(n_mc):
                         mc = min(mem_chunk, M - c * mem_chunk)
                         mslot = ms.take()  # K chunk c
                         kchunk = membuf[mslot, pl.ds(0, mc), :, :].astype(dt)
-                        prod = kchunk * qk[None]
-                        s = jax.lax.dot_general(
-                            prod.reshape(mc * B, D), sel, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ).reshape(mc, B, heads)
-                        xs_parts.append(s)
+                        for w in range(n_grp):
+                            prod = kchunk * qks[w][None]
+                            s = jax.lax.dot_general(
+                                prod.reshape(mc * Bm, D), sel,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ).reshape(mc, Bm, heads)
+                            xs_parts[w].append(s)
                         ms.refill()  # V chunk c (or next layer's K) into this slot
-                    s = jnp.concatenate(xs_parts, axis=0) * inv_sqrt_dh  # [M,B,h]
-                    wght = jax.nn.softmax(s, axis=0).astype(dt)
+                    wghts = []
+                    for w in range(n_grp):
+                        s = (
+                            jnp.concatenate(xs_parts[w], axis=0) * inv_sqrt_dh
+                        )  # [M, Bm, h]
+                        wghts.append(jax.nn.softmax(s, axis=0).astype(dt))
                     # pass 2: weighted V accumulation over V chunks
-                    ca = jnp.zeros((B, D), jnp.float32)
+                    cas = [jnp.zeros((Bm, D), jnp.float32) for _ in range(n_grp)]
                     for c in range(n_mc):
                         mc = min(mem_chunk, M - c * mem_chunk)
                         m0 = c * mem_chunk
                         mslot = ms.take()  # V chunk c
-                        wexp = jax.lax.dot_general(
-                            wght[m0 : m0 + mc].reshape(mc * B, heads), sel,
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ).astype(dt).reshape(mc, B, D)
                         vchunk = membuf[mslot, pl.ds(0, mc), :, :].astype(dt)
-                        ca = ca + jnp.sum(
-                            (wexp * vchunk).astype(jnp.float32), axis=0
-                        )
+                        for w in range(n_grp):
+                            wexp = jax.lax.dot_general(
+                                wghts[w][m0 : m0 + mc].reshape(mc * Bm, heads),
+                                sel,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ).astype(dt).reshape(mc, Bm, D)
+                            cas[w] = cas[w] + jnp.sum(
+                                (wexp * vchunk).astype(jnp.float32), axis=0
+                            )
                         ms.refill()
+                    ca = (
+                        jnp.concatenate(cas, axis=0) if beam else cas[0]
+                    )  # [B, D]
                     # int8_kv: V's per-channel scale applied once to the
                     # accumulated context (the other [B, D]-sized multiply)
                     if int8_kv:
@@ -662,6 +985,7 @@ def _build_kernel(
             # ---- tied-vocab head + argmax + next-word embedding feedback -------
             if "nohead" in _ABLATE:
                 word = jnp.full((B,), start_idx, jnp.int32)
+                logits = None
             else:
                 hf = _ln(x, lnf_ref[0, :], lnf_ref[1, :]).astype(dt)
                 proj = (
@@ -674,7 +998,11 @@ def _build_kernel(
                     )
                     + out_bias_ref[:][None, :]
                 )  # [B, V] f32
-                word = jnp.argmax(logits, axis=1).astype(jnp.int32)
+                if not beam:
+                    word = jnp.argmax(logits, axis=1).astype(jnp.int32)
+            if beam:
+                word = beam_select(logits)
+                return
             if early_stop:
                 # reference early-exit semantics (transformer.greedy_decode_
                 # ids w_body): already-done rows emit <pad>; a row is done
@@ -688,7 +1016,16 @@ def _build_kernel(
                 done_v[:] = jnp.broadcast_to(
                     new_done[None, :], done_v.shape
                 ).astype(jnp.int32)
-                all_done_s[0] = jnp.all(new_done).astype(jnp.int32)
+                all_done = jnp.all(new_done)
+                all_done_s[0] = all_done.astype(jnp.int32)
+
+                # the step that trips all-done already tail-issued the next
+                # step's prefetch slots (t < T - 1 only); the skipped steps
+                # will never wait them, so drain here — a one-time ~n_pre
+                # chunk wait, not a per-step cost
+                @pl.when(all_done & (t < T - 1))
+                def _drain():
+                    drain_prefetch()
             # The ids output is one full-array [T, B] VMEM-resident block
             # (Mosaic rejects sub-(8,128) blocks like (1, B) on int32; a full
             # block sidesteps the dynamic-sublane store too). Write row t with
@@ -753,13 +1090,21 @@ def fused_greedy_decode(
     mem_chunk = _MEM_CHUNK or (M if M <= 32 else pl.cdiv(M, 3))
     mem_chunk = min(mem_chunk, M)
     t_chunk = min(T, 8)
+    # int8 ring slots are half-size, so the same VMEM buys a deeper ring.
+    # Measured effect at production dims: neutral (int8 280 vs 278 us/step,
+    # int8+kv 261 vs 260 — the int8 residual is the unpack/convert VPU
+    # cost, not slot starvation; benchmarks/fused_transformer_roofline.md).
+    # Kept because it is free VMEM-wise and deeper rings only help when a
+    # future shape/tunnel makes DMA issue latency visible.
+    w_slots = _W_SLOTS + (1 if int8_stream else 0)
+    mem_slots = _MEM_SLOTS + (2 if int8_kv else 0)
 
     kernel = _build_kernel(
         L=L, D=D, F=F, M=M, B=B, V=V, E=E, T=T, P=P, heads=n_heads,
         start_idx=start_idx, padding_idx=padding_idx, dt=dt,
         mem_chunk=mem_chunk, t_chunk=t_chunk, int8_stream=int8_stream,
         int8_kv=int8_kv, early_stop=early_stop, stop_idx=stop_idx,
-        valid_rows=valid_rows,
+        valid_rows=valid_rows, w_slots=w_slots, mem_slots=mem_slots,
     )
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     resident = lambda shape: pl.BlockSpec(
@@ -814,10 +1159,12 @@ def fused_greedy_decode(
             pltpu.VMEM((B, D), jnp.float32),  # x_s residual stream
             pltpu.VMEM((8, B), jnp.int32),  # done_v (early-stop row mask)
             pltpu.SMEM((1,), jnp.int32),  # all_done_s (early-stop exit flag)
-            pltpu.VMEM((_W_SLOTS, D, max(3 * D, F)), wbuf_dtype),  # wbuf ring
-            pltpu.VMEM((_MEM_SLOTS, mem_chunk, B, D), membuf_dtype),  # membuf
-            pltpu.SemaphoreType.DMA((_W_SLOTS,)),  # wsem
-            pltpu.SemaphoreType.DMA((_MEM_SLOTS,)),  # msem
+            pltpu.VMEM((8, B), jnp.float32),  # scores_v (beam; dormant here)
+            pltpu.VMEM((8, B), jnp.int32),  # len_v (beam; dormant here)
+            pltpu.VMEM((w_slots, D, max(3 * D, F)), wbuf_dtype),  # wbuf ring
+            pltpu.VMEM((mem_slots, mem_chunk, B, D), membuf_dtype),  # membuf
+            pltpu.SemaphoreType.DMA((w_slots,)),  # wsem
+            pltpu.SemaphoreType.DMA((mem_slots,)),  # msem
         ],
         cost_estimate=pl.CostEstimate(
             flops=T * flops_step,
@@ -841,13 +1188,171 @@ def fused_greedy_decode(
     return jnp.transpose(ids_tm, (1, 0))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_length", "n_heads", "beam_size", "start_idx", "padding_idx",
+        "stop_idx", "compute_dtype", "interpret", "early_stop",
+    ),
+)
+def fused_beam_decode(
+    ftp: FusedTransformerDecode,
+    max_length: int,
+    n_heads: int,
+    beam_size: int,
+    start_idx: int = 2,
+    padding_idx: int = 0,
+    stop_idx: int = 3,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    early_stop: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Whole-decode fused beam search (VERDICT r4 #4): ONE Pallas program
+    for all steps x layers x the per-beam top-W head x the beam reorder x
+    the embedding feedback, with ``ftp`` prepared from the UNREPEATED
+    per-image memory (n_img = ftp.dims batch). Decode rows are slot-major
+    (beam slot w owns rows [w*n_img, (w+1)*n_img)), so the cross-attention
+    memory streams 1/beam_size of the XLA path's bytes and the per-image
+    candidate combine is a plain reshape.
+
+    Returns ``(words_tm [T, n_img, W], srcs_tm [T, n_img, W],
+    scores [n_img, W], lengths [n_img, W])`` — the same quadruple the XLA
+    scan in transformer.beam_search_ids carries into its shared backtrack
+    (reference semantics: inference/beam.py; model_adaAttention_aic.py's
+    greedy loop has no beam — this is the framework's serving extension).
+
+    ``early_stop``: once every beam of every image is finished, remaining
+    grid steps skip all DMA and compute; the truncated steps keep the
+    prefill (pad words, identity back-pointers), which backtracks
+    identically — the same argument as inference/beam.py's early_stop."""
+    L, D, F, M, n_img, V, E = ftp.dims
+    W = beam_size
+    B = n_img * W
+    T = max_length
+    P = ftp.pos.shape[0]
+    dt = jnp.dtype(compute_dtype)
+    int8_stream = ftp.w_scales is not None
+    int8_kv = ftp.mem_scales is not None
+    mem_chunk = _MEM_CHUNK or (M if M <= 32 else pl.cdiv(M, 3))
+    mem_chunk = min(mem_chunk, M)
+    t_chunk = min(T, 8)
+    w_slots = _W_SLOTS + (1 if int8_stream else 0)
+    mem_slots = _MEM_SLOTS + (2 if int8_kv else 0)
+
+    kernel = _build_kernel(
+        L=L, D=D, F=F, M=M, B=B, V=V, E=E, T=T, P=P, heads=n_heads,
+        start_idx=start_idx, padding_idx=padding_idx, dt=dt,
+        mem_chunk=mem_chunk, t_chunk=t_chunk, int8_stream=int8_stream,
+        int8_kv=int8_kv, early_stop=early_stop, stop_idx=stop_idx,
+        beam=W, n_img=n_img, w_slots=w_slots, mem_slots=mem_slots,
+    )
+    resident = lambda shape: pl.BlockSpec(
+        shape, lambda t: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    nbytes = jnp.dtype(dt).itemsize
+    w_nbytes = 1 if int8_stream else nbytes
+    m_nbytes = 1 if int8_kv else nbytes
+    wbuf_dtype = jnp.int8 if int8_stream else dt
+    membuf_dtype = jnp.int8 if int8_kv else dt
+    wsc = (
+        ftp.w_scales if int8_stream else jnp.zeros((1, 1, 128), jnp.float32)
+    )
+    msc = (
+        ftp.mem_scales if int8_kv else jnp.zeros((1, 1, 128), jnp.float32)
+    )
+    # per-step MXU work: the greedy step's dots on B rows + the beam-only
+    # cache reorder (2L dots of [B,B]@[B,D] per cached position)
+    flops_step = 2 * B * (
+        L * ((6 * D + 2 * F) * D + (T + M) * D + (T + M) * n_heads * D)
+        + 2 * E * V + E * D + D * E
+    ) + 2 * L * T * B * B * D
+    out_block = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0, 0), memory_space=pltpu.VMEM
+    )
+    ids_tm, srcs_tm, scoreo, leno = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # w_qkv (HBM, manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # w_misc (HBM, manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # w_fc1 (HBM, manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # w_fc2t (HBM, manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # mem_kv [L,2,M,n_img,D]
+            resident(wsc.shape),
+            resident(msc.shape),
+            resident(ftp.table.shape),
+            resident(ftp.smalls.shape),
+            resident(ftp.fc1_b.shape),
+            resident(ftp.sel.shape),
+            resident(ftp.in_proj_w.shape),
+            resident(ftp.in_proj_b.shape),
+            resident(ftp.pos.shape),
+            resident(ftp.lnf.shape),
+            resident(ftp.out_proj_w.shape),
+            resident(ftp.out_proj_b.shape),
+            resident(ftp.out_bias.shape),
+        ],
+        out_specs=[
+            out_block((T, B)), out_block((T, B)),
+            out_block((8, B)), out_block((8, B)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B), jnp.int32),
+            jax.ShapeDtypeStruct((T, B), jnp.int32),
+            jax.ShapeDtypeStruct((8, B), jnp.float32),
+            jax.ShapeDtypeStruct((8, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, T, B, D), dt),  # kcache
+            pltpu.VMEM((L, T, B, D), dt),  # vcache
+            pltpu.VMEM((B, D), jnp.float32),  # x_s residual stream
+            pltpu.VMEM((8, B), jnp.int32),  # done_v (finished mask)
+            pltpu.SMEM((1,), jnp.int32),  # all_done_s (early-stop exit flag)
+            pltpu.VMEM((8, B), jnp.float32),  # scores_v (cumulative logp)
+            pltpu.VMEM((8, B), jnp.int32),  # len_v (caption lengths)
+            pltpu.VMEM((w_slots, D, max(3 * D, F)), wbuf_dtype),  # wbuf ring
+            pltpu.VMEM(
+                (mem_slots, mem_chunk, n_img, D), membuf_dtype
+            ),  # membuf
+            pltpu.SemaphoreType.DMA((w_slots,)),  # wsem
+            pltpu.SemaphoreType.DMA((mem_slots,)),  # msem
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=T * flops_step,
+            bytes_accessed=T
+            * (
+                (6 * D + 2 * F) * L * D * w_nbytes
+                + 2 * L * M * n_img * D * m_nbytes
+            ),
+            transcendentals=T * B * (L * (T + M + 2 * F) + V),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=130 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        ftp.w_qkv, ftp.w_misc, ftp.w_fc1, ftp.w_fc2t, ftp.mem_kv,
+        wsc, msc, ftp.table, ftp.smalls, ftp.fc1_b, ftp.sel,
+        ftp.in_proj_w, ftp.in_proj_b, ftp.pos, ftp.lnf, ftp.out_proj_w,
+        ftp.out_proj_b, ftp.out_bias,
+    )
+    # slot-major flat rows [T, W*n_img] -> [T, n_img, W]
+    words = jnp.transpose(ids_tm.reshape(T, W, n_img), (0, 2, 1))
+    srcs = jnp.transpose(srcs_tm.reshape(T, W, n_img), (0, 2, 1))
+    scores = scoreo[0, :].reshape(W, n_img).T
+    lengths = leno[0, :].reshape(W, n_img).T
+    return words, srcs, scores, lengths
+
+
 def fused_dims_ok(
     params: Params, dims, batch: int, max_length: int, mem_len: int = 50
 ) -> bool:
     """Gate for the whole-decode kernel: production-ish dims whose tiles and
     VMEM plan the kernel is written for, AND a VMEM budget check — the
     self-attn caches, the weight/memory DMA rings and the tied table must
-    all fit (v5e: 128 MB/core, ~8 MB headroom left for Mosaic temporaries).
+    all fit (v5e: 128 MiB/core; the compiler's own transients measured
+    ~11 MiB on top of this static estimate — an early_stop build at 4 mem
+    slots compiled to 128.42 MiB and OOM'd, so the gate leaves 12 MiB).
     Anything else falls back to the XLA KV-cached scan (identical ids, just
     unfused)."""
     D = dims.model_dim
@@ -869,5 +1374,39 @@ def fused_dims_ok(
         and batch >= 8
         and batch % 8 == 0
         and max_length <= params["pos"].shape[0]
-        and vmem <= 126 * 1024 * 1024
+        and vmem <= 116 * 1024 * 1024
+    )
+
+
+def fused_beam_dims_ok(
+    params: Params, dims, n_img: int, beam_size: int, max_length: int,
+    mem_len: int = 50,
+) -> bool:
+    """Gate for the whole-decode BEAM kernel: the greedy gate's checks at
+    B = n_img * beam_size decode rows, a slot-major-sliceable image count
+    (n_img % 8 == 0 — per-slot query slices land on sublane boundaries),
+    and the smaller per-image memory ring. Anything else falls back to the
+    XLA beam scan (identical ids, just unfused)."""
+    D = dims.model_dim
+    L, F = dims.num_layers, dims.model_dim * dims.mlp_ratio
+    B = n_img * beam_size
+    itemsize = 2  # bf16 compute dtype (f32 only in tests' interpret mode)
+    mem_chunk = mem_len if mem_len <= 32 else -(-mem_len // 3)
+    vmem = (
+        2 * L * max_length * B * D * itemsize  # self-attn K/V caches
+        + _W_SLOTS * D * max(3 * D, F) * itemsize  # weight DMA ring
+        + _MEM_SLOTS * mem_chunk * n_img * D * itemsize  # memory DMA ring
+        + dims.padded_vocab * dims.embedding_size * itemsize  # tied table
+        + B * D * 4  # residual stream (f32)
+    )
+    return (
+        1 < beam_size <= 8
+        and n_img >= 8
+        and n_img % 8 == 0
+        and D % 128 == 0
+        and dims.embedding_size % 128 == 0
+        and D // dims.num_heads >= 8
+        and dims.padded_vocab >= 2048
+        and max_length <= params["pos"].shape[0]
+        and vmem <= 116 * 1024 * 1024
     )

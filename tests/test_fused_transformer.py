@@ -298,3 +298,99 @@ def test_gate_rejects_tiny_and_early_stop(setup):
         use_pallas=False, early_stop=True,
     )
     assert ids.shape == (B, 5)
+
+
+# ---- whole-decode fused beam search (fused_beam_decode) ---------------------
+
+
+def _interp_fused_beam(monkeypatch):
+    orig = FT.fused_beam_decode
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(FT, "fused_beam_decode", interp)
+
+
+def test_fused_beam_matches_xla_f32(setup, monkeypatch):
+    """Whole-decode beam kernel (interpret) == the XLA beam scan, id-for-id
+    AND score-for-score in f32. The XLA reference is the full-V top-k path
+    (use_pallas=False); the kernel's per-beam top-W candidate trick is exact
+    (at most W winners can come from one beam), so ids must agree wherever
+    logits are tie-free (random untrained weights in f32)."""
+    dims, params, pre, B, _ie, _gf = setup
+    _interp_fused_beam(monkeypatch)
+    assert FT.fused_beam_dims_ok(params, dims, B, 4, 5)
+    ids_fused, sc_fused = TF.beam_search_ids(
+        params, pre, dims, max_length=5, beam_size=4,
+        compute_dtype=jnp.float32, use_pallas=True, length_norm=0.7,
+    )
+    ids_ref, sc_ref = TF.beam_search_ids(
+        params, pre, dims, max_length=5, beam_size=4,
+        compute_dtype=jnp.float32, use_pallas=False, length_norm=0.7,
+    )
+    assert ids_fused.shape == (B, 5)
+    np.testing.assert_array_equal(np.asarray(ids_fused), np.asarray(ids_ref))
+    np.testing.assert_allclose(
+        np.asarray(sc_fused), np.asarray(sc_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("stop_bias", [3.0, 30.0])
+def test_fused_beam_early_stop_matches(setup, monkeypatch, stop_bias):
+    """Early-stop beam: once every beam of every image is finished the
+    kernel skips the remaining grid steps; the truncated steps keep the
+    prefill (pad words, identity back-pointers), so ids/scores equal the
+    fixed-length XLA run. stop_bias=30 stops everything at step 1;
+    stop_bias=3 mixes finished and live beams across several steps."""
+    dims, params, pre, B, _ie, _gf = setup
+    _interp_fused_beam(monkeypatch)
+    p = dict(params)
+    p["out_bias"] = params["out_bias"].at[3].add(stop_bias)
+    ids_fused, sc_fused = TF.beam_search_ids(
+        p, pre, dims, max_length=5, beam_size=4,
+        compute_dtype=jnp.float32, use_pallas=True, early_stop=True,
+    )
+    ids_ref, sc_ref = TF.beam_search_ids(
+        p, pre, dims, max_length=5, beam_size=4,
+        compute_dtype=jnp.float32, use_pallas=False, early_stop=False,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_fused), np.asarray(ids_ref))
+    np.testing.assert_allclose(
+        np.asarray(sc_fused), np.asarray(sc_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_beam_int8_matches_xla_int8(setup, monkeypatch):
+    """int8 beam serving: the kernel streams the int8 weights and must match
+    the XLA beam on the SAME quantized params exactly (identical dequant
+    math, f32 compute)."""
+    dims, params, pre, B, _ie, _gf = setup
+    _interp_fused_beam(monkeypatch)
+    qp = TF.quantize_transformer_decoder(params)
+    ids_fused, _ = TF.beam_search_ids(
+        qp, pre, dims, max_length=5, beam_size=4,
+        compute_dtype=jnp.float32, use_pallas=True,
+    )
+    ids_ref, _ = TF.beam_search_ids(
+        qp, pre, dims, max_length=5, beam_size=4,
+        compute_dtype=jnp.float32, use_pallas=False,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_fused), np.asarray(ids_ref))
+
+
+def test_fused_beam_gate_rejects_ragged_images(setup):
+    """n_img not a multiple of 8 cannot slice slot-major query groups on
+    sublane boundaries -> XLA fallback (shape-correct)."""
+    dims, params, pre, B, _ie, _gf = setup
+    assert not FT.fused_beam_dims_ok(params, dims, 6, 4, 5)
+    assert not FT.fused_beam_dims_ok(params, dims, B, 1, 5)  # W=1 == greedy
+    pre_s = TransformerPre(
+        tuple(k[:6] for k in pre.mem_k), tuple(v[:6] for v in pre.mem_v)
+    )
+    ids, scores = TF.beam_search_ids(
+        params, pre_s, dims, max_length=5, beam_size=4,
+        compute_dtype=jnp.float32, use_pallas=True, interpret=True,
+    )
+    assert ids.shape == (6, 5) and scores.shape == (6,)
