@@ -24,6 +24,7 @@ Extra diagnostics go to stderr, never stdout.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -401,6 +402,26 @@ def main() -> None:
             extra, "transformer_greedy", cost_t.get("flops", 0.0),
             cost_t.get("bytes_accessed", 0.0), pb,
         )
+
+        # single-image latency, second family (same basis as the LSTM's
+        # single_image_device_ms line: B=1 pads to the whole-decode fused
+        # kernel's 8-row gate inside greedy_decode_ids and is sliced back).
+        # OPT-IN: the B=8 kernel specialization is a separate ~10+ min
+        # remote compile on the dev tunnel — too slow for the default bench
+        # run (the driver's end-of-round capture must not risk a hang).
+        if os.environ.get("BENCH_TRANSFORMER_B1"):
+            _c1t, pb1t, pb1t_wall = sustained_captions_per_sec(
+                lambda p, s, x: captioner.greedy_decode(p, s, x, opts_t),
+                params_t, state_t, images[:1], ITERS, rtt=rtt,
+            )
+            extra["transformer_single_image_device_ms"] = round(
+                pb1t * 1000, 3
+            )
+            log(
+                f"transformer single-image latency: {pb1t * 1000:.2f} ms "
+                f"device / {pb1t_wall * 1000:.2f} ms wall (pad-to-8 fused "
+                "path)"
+            )
 
         # quantized serving modes: the fused decode is stream-bound, so the
         # int8 artifact halves the weight bytes in HBM (exact vs the XLA
